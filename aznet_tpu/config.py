@@ -1,0 +1,270 @@
+"""Configuration tree for aznet_tpu.
+
+TPU-native replacement for the reference's two parallel easydict config trees
+(``lib/detect/config.py`` and ``lib/fast_rcnn/config.py`` — SURVEY.md §5.6):
+a single frozen-dataclass tree with the reference's semantic knobs preserved
+1:1 (SEAR.*, TRAIN.*, TEST.*, PIXEL_MEANS, RNG_SEED, ...) so that experiment
+parity is a config translation, not a code change.
+
+Like the reference, configs can be overridden from YAML files
+(``cfg_from_file``, deep-merge with type checking against the defaults) and
+from ``KEY VALUE`` lists (``cfg_from_list``). Unlike the reference, the tree
+is immutable: overrides produce a new Config, which keeps jitted functions
+keyed on hashable static config objects.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from dataclasses import dataclass, field, fields, is_dataclass
+from typing import Any, Tuple
+
+
+# ---------------------------------------------------------------------------
+# Sub-trees
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class SearchConfig:
+    """AZ adjacency-and-zoom search knobs (reference ``cfg.SEAR.*``).
+
+    Reference: lib/detect/config.py (SURVEY.md §2.1 — zoom-indicator
+    threshold, adjacency-confidence threshold, depth/budget caps, min region
+    size, final proposal count). TPU-new knobs (FRONTIER_CAP, CAND_BUF) exist
+    because the on-device search runs over fixed-shape padded frontiers.
+    """
+
+    # Zoom indicator threshold Tz: regions with z > Tz are subdivided.
+    ZOOM_THRESH: float = 0.2
+    # Adjacency confidence threshold Tc: candidates below are dropped.
+    CONF_THRESH: float = 0.05
+    # Maximum search-tree depth (levels of subdivision). COCO configs go deeper.
+    MAX_LEVELS: int = 6
+    # Regions smaller than this (in pixels, shorter side) are not subdivided.
+    MIN_SIZE: float = 16.0
+    # Static per-level frontier capacity R_max (TPU: padded frontier; the
+    # reference's frontier is an unbounded host-side list).
+    FRONTIER_CAP: int = 64
+    # Static proposal-candidate accumulator size (top-K eviction by score).
+    CAND_BUF: int = 2048
+    # Number of final proposals returned by im_propose (paper sweeps 100/300/1000).
+    NUM_PROPOSALS: int = 300
+    # NMS IoU threshold applied to the accumulated candidates.
+    NMS_THRESH: float = 0.7
+    # Extra relative overlap of the 5 zoom sub-regions (0.0 = exact quadrants+center).
+    DIV_OVERLAP: float = 0.0
+    # How many division levels to seed into the initial frontier alongside the
+    # whole image (paper seeds the first division level).
+    SEED_LEVELS: int = 1
+    # Clip |dw|,|dh| in delta decoding (log(1000/16) as in the lineage).
+    BBOX_XFORM_CLIP: float = 4.135166556742356
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training knobs (reference ``cfg.TRAIN.*`` — SURVEY.md §2.2)."""
+
+    # Image scales (shortest side) and max longest side, fast-rcnn defaults.
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    # Images per minibatch and ROIs per image (fast-rcnn: 2 x 64 = 128 rois).
+    IMS_PER_BATCH: int = 2
+    BATCH_SIZE: int = 128
+    FG_FRACTION: float = 0.25
+    FG_THRESH: float = 0.5
+    BG_THRESH_HI: float = 0.5
+    BG_THRESH_LO: float = 0.1
+    # Horizontal-flip augmentation.
+    USE_FLIPPED: bool = True
+    # Bbox regression target normalization (fast-rcnn's mean/std trick).
+    BBOX_NORMALIZE_TARGETS: bool = True
+    BBOX_NORMALIZE_MEANS: Tuple[float, float, float, float] = (0.0, 0.0, 0.0, 0.0)
+    BBOX_NORMALIZE_STDS: Tuple[float, float, float, float] = (0.1, 0.1, 0.2, 0.2)
+    BBOX_THRESH: float = 0.5
+    # AZ-specific label generation.
+    # A gt is "contained" in a region if inter(gt, region)/area(gt) >= this.
+    ZOOM_CONTAIN_THRESH: float = 0.5
+    # Zoom label is 1 iff a contained gt has area(gt)/area(region) < this.
+    ZOOM_AREA_FRAC: float = 0.25
+    # Adjacency template <-> gt assignment IoU threshold.
+    ADJ_FG_THRESH: float = 0.5
+    # Number of anchor regions sampled per image for AZ training.
+    REGIONS_PER_IMAGE: int = 128
+    # Optimizer (Caffe SGD solver equivalents: momentum, weight decay, step LR).
+    LEARNING_RATE: float = 0.001
+    MOMENTUM: float = 0.9
+    WEIGHT_DECAY: float = 0.0005
+    STEPSIZE: int = 30000
+    GAMMA: float = 0.1
+    MAX_ITERS: int = 40000
+    SNAPSHOT_ITERS: int = 10000
+    SNAPSHOT_PREFIX: str = "aznet"
+    # Gradient clip (TPU-new; 0 disables).
+    GRAD_CLIP: float = 0.0
+
+
+@dataclass(frozen=True)
+class TestConfig:
+    """Inference knobs (reference ``cfg.TEST.*``)."""
+
+    SCALES: Tuple[int, ...] = (600,)
+    MAX_SIZE: int = 1000
+    # Detection-head NMS threshold and score threshold.
+    NMS: float = 0.3
+    SCORE_THRESH: float = 0.05
+    # Max detections kept per image after per-class NMS.
+    MAX_PER_IMAGE: int = 100
+    # Pad batched images to multiples of this (TPU static shapes).
+    SIZE_MULTIPLE: int = 32
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Network architecture knobs (the reference keeps these in prototxts)."""
+
+    BACKBONE: str = "vgg16"  # vgg16 | resnet50 | smallnet
+    # Feature stride of the trunk output used for ROI pooling.
+    FEAT_STRIDE: int = 16
+    # ROI pooling: output grid and mode.
+    POOL_SIZE: int = 7
+    POOLING_MODE: str = "align"  # "align" (TPU-native) | "caffe_max" (parity)
+    # Number of adjacency templates K (paper uses a fixed small template set).
+    NUM_TEMPLATES: int = 11
+    # Detection classes (VOC: 20 + background).
+    NUM_CLASSES: int = 21
+    FC_DIM: int = 4096
+    DROPOUT: float = 0.5
+    # Compute dtype for conv/matmul ("bfloat16" rides the MXU; params stay f32).
+    COMPUTE_DTYPE: str = "bfloat16"
+
+
+@dataclass(frozen=True)
+class Config:
+    """Root config. Frozen + hashable so it can be a jit static argument."""
+
+    SEAR: SearchConfig = field(default_factory=SearchConfig)
+    TRAIN: TrainConfig = field(default_factory=TrainConfig)
+    TEST: TestConfig = field(default_factory=TestConfig)
+    MODEL: ModelConfig = field(default_factory=ModelConfig)
+    # BGR pixel means, the exact Caffe constants (SURVEY.md §2.1 [H]).
+    PIXEL_MEANS: Tuple[float, float, float] = (102.9801, 115.9465, 122.7717)
+    RNG_SEED: int = 3
+    EXP_DIR: str = "default"
+    OUTPUT_DIR: str = "output"
+    # Box coordinate convention: 1.0 = Caffe/fast-rcnn "+1" widths (parity),
+    # 0.0 = modern half-open convention.
+    BOX_OFFSET: float = 1.0
+
+
+# ---------------------------------------------------------------------------
+# Override machinery (cfg_from_file / cfg_from_list equivalents)
+# ---------------------------------------------------------------------------
+
+
+def _coerce(value: Any, template: Any, path: str) -> Any:
+    """Coerce ``value`` to the type of ``template``, erroring on mismatch."""
+    if is_dataclass(template):
+        if not isinstance(value, dict):
+            raise TypeError(f"{path}: expected mapping for {type(template).__name__}")
+        return _merge_dataclass(template, value, path)
+    t = type(template)
+    if t is bool:
+        if isinstance(value, bool):
+            return value
+        if isinstance(value, str):
+            return value.lower() in ("1", "true", "yes", "on")
+        return bool(value)
+    if t is int:
+        if isinstance(value, float) and value != int(value):
+            raise TypeError(f"{path}: expected int, got {value!r}")
+        return int(value)
+    if t is float:
+        return float(value)
+    if t is str:
+        return str(value)
+    if t is tuple:
+        if not isinstance(value, (list, tuple)):
+            raise TypeError(f"{path}: expected sequence, got {value!r}")
+        if len(template):
+            elem = template[0]
+            return tuple(type(elem)(v) for v in value)
+        return tuple(value)
+    raise TypeError(f"{path}: unsupported config type {t}")
+
+
+def _merge_dataclass(base: Any, overrides: dict, path: str = "") -> Any:
+    valid = {f.name: f for f in fields(base)}
+    updates = {}
+    for key, value in overrides.items():
+        if key not in valid:
+            raise KeyError(f"unknown config key: {path + key!r}")
+        current = getattr(base, key)
+        updates[key] = _coerce(value, current, path + key)
+    return dataclasses.replace(base, **updates)
+
+
+def cfg_from_dict(cfg: Config, overrides: dict) -> Config:
+    """Deep-merge a nested dict of overrides into ``cfg`` (type-checked)."""
+    return _merge_dataclass(cfg, overrides)
+
+
+def cfg_from_file(cfg: Config, filename: str) -> Config:
+    """Load a YAML config file and merge it into ``cfg``.
+
+    Mirrors the reference's ``cfg_from_file`` (lib/fast_rcnn/config.py,
+    SURVEY.md §5.6) but returns a new frozen Config.
+    """
+    import yaml
+
+    with open(filename) as f:
+        data = yaml.safe_load(f) or {}
+    return cfg_from_dict(cfg, data)
+
+
+def cfg_from_list(cfg: Config, args: list) -> Config:
+    """Apply ``[KEY, VALUE, KEY, VALUE, ...]`` overrides with dotted keys.
+
+    Mirrors the reference's ``cfg_from_list`` (``--set SEAR.NUM_PROPOSALS 300``).
+    Values are parsed as Python literals when possible.
+    """
+    import ast
+
+    if len(args) % 2 != 0:
+        raise ValueError("cfg_from_list expects an even-length KEY VALUE list")
+    nested: dict = {}
+    for key, raw in zip(args[0::2], args[1::2]):
+        try:
+            value = ast.literal_eval(raw) if isinstance(raw, str) else raw
+        except (ValueError, SyntaxError):
+            value = raw
+        node = nested
+        parts = key.split(".")
+        for part in parts[:-1]:
+            node = node.setdefault(part, {})
+        node[parts[-1]] = value
+    return cfg_from_dict(cfg, nested)
+
+
+def cfg_to_dict(cfg: Any) -> dict:
+    """Dataclass tree -> plain nested dict (for logging / YAML dump)."""
+    out = {}
+    for f in fields(cfg):
+        v = getattr(cfg, f.name)
+        out[f.name] = cfg_to_dict(v) if is_dataclass(v) else v
+    return out
+
+
+def get_output_dir(cfg: Config, imdb_name: str, net_name: str | None = None) -> str:
+    """Output directory convention mirroring the reference's ``get_output_dir``."""
+    parts = [cfg.OUTPUT_DIR, cfg.EXP_DIR, imdb_name]
+    if net_name:
+        parts.append(net_name)
+    path = os.path.join(*parts)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+# Module-level default (immutable; use the merge helpers to derive variants).
+default_config = Config

@@ -1,0 +1,19 @@
+"""Core tensor ops: box codecs, IoU, NMS, ROI pooling, preprocessing, losses.
+
+TPU-native equivalents of the reference's native layer (SURVEY.md §2.3):
+Cython ``bbox_overlaps``/``nms`` and CUDA ``ROIPooling``/``SmoothL1Loss``
+become vectorized JAX (jit-fused by XLA) plus Pallas kernels for the hot
+paths. Caffe's "+1" width/area conventions are preserved behind an ``offset``
+parameter (1.0 = parity with the reference, 0.0 = modern convention).
+"""
+
+from aznet_tpu.ops.boxes import (
+    bbox_transform,
+    bbox_transform_inv,
+    clip_boxes,
+    box_area,
+    flip_boxes,
+)
+from aznet_tpu.ops.iou import bbox_overlaps
+from aznet_tpu.ops.nms import nms, nms_jax, nms_mask
+from aznet_tpu.ops.losses import smooth_l1_loss, sigmoid_ce_loss, softmax_ce_loss

@@ -1,0 +1,136 @@
+"""Non-maximum suppression: host oracle + on-device exact greedy NMS.
+
+Reference equivalent (SURVEY.md §2.3): the Cython CPU greedy NMS in
+``lib/utils/nms.pyx`` (+ pure-Python ``nms.py`` fallback) — inherently
+sequential host code, one box at a time. The TPU-native design:
+
+- ``nms``        — host NumPy greedy, bit-parity oracle for eval/tests
+                   (C++ fast path via aznet_tpu.utils.native when built).
+- ``nms_jax``    — exact greedy NMS on device, formulated as an antitone
+                   fixpoint over the suppression matrix: ``keep =
+                   ~any(S & keep)`` iterated to convergence. Each iteration
+                   is one masked (N,N) reduction (VPU-friendly); iterations
+                   needed = depth of the suppression DAG (typically < 8),
+                   bounded by N. Fully jit/vmap-able, static shapes.
+- ``nms_topk``   — nms_jax + top-k extraction with padding, for pipelines.
+
+A Pallas-tiled variant for very large N lives in
+``aznet_tpu.ops.pallas.nms_kernel`` (the BASELINE "NMS Mboxes/sec" metric).
+
+Convention notes (parity with the reference): "+1" areas via ``offset``;
+suppression is strict ``IoU > thresh`` (the Cython code keeps ``ovr <=
+thresh``); ties in score are broken toward the lower original index (the
+reference's unstable quicksort makes ties platform-defined — tests use
+distinct scores).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aznet_tpu.ops.iou import bbox_overlaps
+
+
+# ---------------------------------------------------------------------------
+# Host oracle (reference lib/utils/nms.py semantics)
+# ---------------------------------------------------------------------------
+
+
+def nms(dets: np.ndarray, thresh: float, offset: float = 1.0) -> list:
+    """Greedy NMS over ``dets [N, 5] = [x1, y1, x2, y2, score]`` on host.
+
+    Returns the list of kept indices, highest score first — the same
+    signature and semantics as the reference's ``nms(dets, thresh)``.
+    """
+    if dets.size == 0:
+        return []
+    x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
+    scores = dets[:, 4]
+    areas = (x2 - x1 + offset) * (y2 - y1 + offset)
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    while order.size > 0:
+        i = order[0]
+        keep.append(int(i))
+        xx1 = np.maximum(x1[i], x1[order[1:]])
+        yy1 = np.maximum(y1[i], y1[order[1:]])
+        xx2 = np.minimum(x2[i], x2[order[1:]])
+        yy2 = np.minimum(y2[i], y2[order[1:]])
+        w = np.maximum(0.0, xx2 - xx1 + offset)
+        h = np.maximum(0.0, yy2 - yy1 + offset)
+        inter = w * h
+        ovr = inter / (areas[i] + areas[order[1:]] - inter)
+        order = order[1:][ovr <= thresh]
+    return keep
+
+
+# ---------------------------------------------------------------------------
+# On-device exact greedy NMS
+# ---------------------------------------------------------------------------
+
+
+def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0):
+    """Exact greedy-NMS keep mask, in the ORIGINAL box order.
+
+    ``boxes [N, 4]``, ``scores [N]``, optional ``valid [N]`` bool mask for
+    padded inputs. Returns ``keep [N]`` bool. jit/vmap-safe, static shapes.
+
+    Algorithm: sort by score desc; build the strict-lower-triangular
+    suppression matrix ``S[i, j] = (j < i) & (IoU > t)``; iterate the
+    antitone map ``keep <- ~any_j(S[:, j] & keep[j])`` from all-ones until
+    fixpoint. By induction on sorted order the fixpoint is exactly the
+    greedy solution; convergence takes at most the suppression-DAG depth
+    iterations (bounded by N).
+    """
+    n = boxes.shape[0]
+    if valid is None:
+        valid = jnp.ones((n,), dtype=bool)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s, stable=True)
+    sboxes = boxes[order]
+    svalid = valid[order]
+
+    iou = bbox_overlaps(sboxes, sboxes, offset=offset)
+    tri = jnp.tril(jnp.ones((n, n), dtype=bool), k=-1)  # [i, j]: j before i
+    supp = tri & (iou > iou_threshold) & svalid[None, :] & svalid[:, None]
+
+    def cond(state):
+        keep, prev_changed = state
+        return prev_changed
+
+    def body(state):
+        keep, _ = state
+        new_keep = ~jnp.any(supp & keep[None, :], axis=1) & svalid
+        return new_keep, jnp.any(new_keep != keep)
+
+    keep0 = svalid
+    keep_sorted, _ = jax.lax.while_loop(cond, body, (keep0, jnp.asarray(True)))
+    # Scatter back to original order.
+    keep = jnp.zeros((n,), dtype=bool).at[order].set(keep_sorted)
+    return keep
+
+
+def nms_jax(dets, thresh, valid=None, offset: float = 1.0):
+    """Device analogue of ``nms(dets, thresh)``: keep mask for [N,5] dets."""
+    return nms_mask(dets[:, :4], dets[:, 4], thresh, valid=valid, offset=offset)
+
+
+def nms_topk(boxes, scores, iou_threshold, k, valid=None, offset: float = 1.0):
+    """NMS then top-k by score. Returns ``(boxes [k,4], scores [k], valid [k])``.
+
+    Padded with zeros / -inf where fewer than k boxes survive. Static
+    shapes — the on-device replacement for the reference's host
+    "NMS then slice top-N" pattern in ``im_propose``.
+    """
+    keep = nms_mask(boxes, scores, iou_threshold, valid=valid, offset=offset)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    kept_scores = jnp.where(keep, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
+    out_valid = top_scores > neg_inf
+    out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
+    out_scores = jnp.where(out_valid, top_scores, 0.0)
+    return out_boxes, out_scores, out_valid

@@ -1,0 +1,200 @@
+"""ROI feature extraction: Caffe-exact max pooling + TPU-native ROI align.
+
+Reference equivalent (SURVEY.md §2.3): the fork-added CUDA ROIPooling layer
+``caffe-fast-rcnn/src/caffe/layers/roi_pooling_layer.{cpp,cu}`` — max-pool
+each ROI into a fixed ``pool x pool`` grid from the conv feature map at
+``spatial_scale = 1/16``, with integer floor/ceil rounding of sub-bin
+boundaries.
+
+Two implementations:
+
+- :func:`roi_pool_caffe` — bit-parity semantics (round/floor/ceil, empty
+  bins produce 0) as fully vectorized gathers with a static per-bin window
+  bound; used for numerics-parity tests and the ``caffe_max`` pooling mode.
+- :func:`roi_align` — bilinear crop-and-resize with average pooling (no
+  rounding), the TPU-native default: separable gathers, fixed sample count,
+  smooth gradients. This is what we train with (POOLING_MODE='align').
+
+Both are pure jnp (jit/vmap/grad-safe). A Pallas-fused variant for the hot
+search loop lives in ``aznet_tpu.ops.pallas.roi_kernel``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def _chunked_over_rois(fn, rois, chunk: int):
+    """Apply ``fn(rois_chunk)`` over roi chunks via lax.map (bounds memory)."""
+    r = rois.shape[0]
+    pad = (-r) % chunk
+    padded = jnp.pad(rois, ((0, pad), (0, 0)))
+    batches = padded.reshape(-1, chunk, rois.shape[1])
+    out = jax.lax.map(fn, batches)
+    return out.reshape((-1,) + out.shape[2:])[:r]
+
+
+def roi_pool_caffe(feat, rois, spatial_scale: float, pool_size: int = 7,
+                   chunk: int = 32):
+    """Caffe ROIPooling forward parity.
+
+    ``feat``: [H, W, C] conv features. ``rois``: [R, 4] boxes in IMAGE
+    coordinates ``[x1, y1, x2, y2]``. Returns [R, pool, pool, C].
+
+    Semantics (roi_pooling_layer.cpp): round roi coords to the feature grid;
+    ``roi_w = max(x2 - x1 + 1, 1)``; bin boundaries ``floor(p * bin)`` /
+    ``ceil((p+1) * bin)`` offset by roi start, clipped to the map; empty bins
+    output 0; max over the bin.
+    """
+    h, w, c = feat.shape
+    p = pool_size
+    # Static per-bin window bound. Bin boundaries are floor/ceil of a bin of
+    # size roi_h/p, so a bin spans at most roi_h/p + 2 rows; roi coords are
+    # clipped to the image so roi_h <= H + 1 after rounding.
+    mbh = -(-(h + 1) // p) + 2
+    mbw = -(-(w + 1) // p) + 2
+
+    def one_chunk(rchunk):
+        # C round() = half away from zero (coords are non-negative here);
+        # Caffe does all bin arithmetic in float32 — parity requires both.
+        x1 = jnp.floor(rchunk[:, 0] * spatial_scale + 0.5).astype(jnp.int32)
+        y1 = jnp.floor(rchunk[:, 1] * spatial_scale + 0.5).astype(jnp.int32)
+        x2 = jnp.floor(rchunk[:, 2] * spatial_scale + 0.5).astype(jnp.int32)
+        y2 = jnp.floor(rchunk[:, 3] * spatial_scale + 0.5).astype(jnp.int32)
+        roi_h = jnp.maximum(y2 - y1 + 1, 1)  # int32
+        roi_w = jnp.maximum(x2 - x1 + 1, 1)
+        # Exact rational bin boundaries in INTEGER arithmetic:
+        #   floor(ph * roi/p)   = (ph * roi) // p
+        #   ceil((ph+1)*roi/p)  = -((-(ph+1) * roi) // p)
+        # Caffe computes these in float32; XLA rewrites /p into *(1/p) and can
+        # form fmas, so the float path is compiler-dependent (observed: an
+        # off-by-one ceil under jit). Integer arithmetic is the mathematical
+        # intent of the Caffe code and deterministic everywhere; it deviates
+        # from Caffe's float realization only where float rounding error
+        # crosses an integer boundary.
+        ps = jnp.arange(p, dtype=jnp.int32)
+        ps1 = jnp.arange(1, p + 1, dtype=jnp.int32)
+        hstart = (ps[None, :] * roi_h[:, None]) // p + y1[:, None]
+        hend = -((-ps1[None, :] * roi_h[:, None]) // p) + y1[:, None]
+        wstart = (ps[None, :] * roi_w[:, None]) // p + x1[:, None]
+        wend = -((-ps1[None, :] * roi_w[:, None]) // p) + x1[:, None]
+        hstart = jnp.clip(hstart, 0, h)
+        hend = jnp.clip(hend, 0, h)
+        wstart = jnp.clip(wstart, 0, w)
+        wend = jnp.clip(wend, 0, w)
+
+        offs_h = jnp.arange(mbh, dtype=jnp.int32)
+        offs_w = jnp.arange(mbw, dtype=jnp.int32)
+        hidx = hstart[..., None] + offs_h  # [R, p, mbh]
+        widx = wstart[..., None] + offs_w  # [R, p, mbw]
+        hvalid = hidx < hend[..., None]
+        wvalid = widx < wend[..., None]
+        hidx = jnp.clip(hidx, 0, h - 1)
+        widx = jnp.clip(widx, 0, w - 1)
+
+        # Gather [R, ph, pw, mbh, mbw, C] and masked-max the window.
+        yy = hidx[:, :, None, :, None]
+        xx = widx[:, None, :, None, :]
+        vals = feat[yy, xx]
+        mask = (hvalid[:, :, None, :, None] & wvalid[:, None, :, None, :])[..., None]
+        neg = jnp.asarray(-jnp.inf, feat.dtype)
+        pooled = jnp.max(jnp.where(mask, vals, neg), axis=(3, 4))
+        # Empty bins (hend<=hstart or wend<=wstart) -> 0, as in Caffe.
+        any_valid = jnp.any(mask, axis=(3, 4))
+        return jnp.where(any_valid, pooled, 0.0)
+
+    return _chunked_over_rois(one_chunk, rois, chunk)
+
+
+def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
+              sampling: int = 2, chunk: int = 64, offset: float = 0.0):
+    """ROI align: bilinear crop-and-resize + average pooling (TPU-native).
+
+    ``feat``: [H, W, C]; ``rois``: [R, 4] image coords. Returns
+    [R, pool, pool, C]. No coordinate rounding (continuous), ``sampling^2``
+    bilinear samples per bin, averaged. ``offset=0.5`` gives the half-pixel
+    ("aligned=True") variant; 0.0 matches the original Mask-R-CNN op.
+
+    Design note: implemented as two separable gathers (rows then columns)
+    so XLA lowers it to efficient dynamic-gathers over a feature map that
+    fits in VMEM; the sample count is static, making it vmap/scan-friendly
+    inside the on-device zoom search loop.
+    """
+    h, w, c = feat.shape
+    p, s = pool_size, sampling
+    n = p * s
+
+    def one_chunk(rchunk):
+        x1 = rchunk[:, 0] * spatial_scale - offset
+        y1 = rchunk[:, 1] * spatial_scale - offset
+        x2 = rchunk[:, 2] * spatial_scale - offset
+        y2 = rchunk[:, 3] * spatial_scale - offset
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        # Sample grid: n = p*s points per axis at bin-interior half offsets.
+        grid = (jnp.arange(n, dtype=jnp.float32) + 0.5) / n  # [n] in (0,1)
+        ys = y1[:, None] + grid[None, :] * roi_h[:, None]  # [R, n]
+        xs = x1[:, None] + grid[None, :] * roi_w[:, None]
+        ys = jnp.clip(ys, 0.0, h - 1.0)
+        xs = jnp.clip(xs, 0.0, w - 1.0)
+        y0 = jnp.floor(ys).astype(jnp.int32)
+        x0 = jnp.floor(xs).astype(jnp.int32)
+        y1i = jnp.minimum(y0 + 1, h - 1)
+        x1i = jnp.minimum(x0 + 1, w - 1)
+        fy = (ys - y0.astype(jnp.float32))[..., None, None]  # [R, n, 1, 1]
+        fx = xs - x0.astype(jnp.float32)  # [R, n]
+
+        rows = feat[y0] * (1.0 - fy) + feat[y1i] * fy  # [R, n, W, C]
+        # Column gather per roi: take_along_axis over W.
+        def col_ix(idx):
+            return jnp.take_along_axis(rows, idx[:, None, :, None], axis=2)
+        left = col_ix(x0)  # [R, n, n, C]
+        right = col_ix(x1i)
+        samples = left * (1.0 - fx[:, None, :, None]) + right * fx[:, None, :, None]
+        # Average s x s samples per bin.
+        pooled = samples.reshape(-1, p, s, p, s, c).mean(axis=(2, 4))
+        return pooled
+
+    return _chunked_over_rois(one_chunk, rois, chunk)
+
+
+def roi_pool(feat, rois, spatial_scale: float, pool_size: int = 7,
+             mode: str = "align", **kw):
+    """Dispatch on cfg.MODEL.POOLING_MODE."""
+    if mode == "align":
+        return roi_align(feat, rois, spatial_scale, pool_size, **kw)
+    if mode == "caffe_max":
+        return roi_pool_caffe(feat, rois, spatial_scale, pool_size, **kw)
+    raise ValueError(f"unknown pooling mode: {mode}")
+
+
+def roi_pool_caffe_reference_np(feat, rois, spatial_scale, pool_size=7):
+    """Direct NumPy transcription of roi_pooling_layer.cpp (test oracle)."""
+    import numpy as np
+
+    h, w, c = feat.shape
+    f32 = np.float32
+    out = np.zeros((rois.shape[0], pool_size, pool_size, c), np.float32)
+    for r in range(rois.shape[0]):
+        # C round() semantics + float32 bin arithmetic, as in the CUDA/CPP layer.
+        x1 = int(np.floor(f32(rois[r, 0]) * f32(spatial_scale) + f32(0.5)))
+        y1 = int(np.floor(f32(rois[r, 1]) * f32(spatial_scale) + f32(0.5)))
+        x2 = int(np.floor(f32(rois[r, 2]) * f32(spatial_scale) + f32(0.5)))
+        y2 = int(np.floor(f32(rois[r, 3]) * f32(spatial_scale) + f32(0.5)))
+        roi_h = max(y2 - y1 + 1, 1)
+        roi_w = max(x2 - x1 + 1, 1)
+        p = pool_size
+        for ph in range(pool_size):
+            for pw in range(pool_size):
+                # Exact rational boundaries (see roi_pool_caffe for rationale).
+                hs = min(max((ph * roi_h) // p + y1, 0), h)
+                he = min(max(-((-(ph + 1) * roi_h) // p) + y1, 0), h)
+                ws = min(max((pw * roi_w) // p + x1, 0), w)
+                we = min(max(-((-(pw + 1) * roi_w) // p) + x1, 0), w)
+                if he <= hs or we <= ws:
+                    continue
+                out[r, ph, pw] = feat[hs:he, ws:we].reshape(-1, c).max(axis=0)
+    return out
