@@ -1,0 +1,85 @@
+"""ROI heads: AZ (zoom + adjacency) and Fast-R-CNN (cls + bbox).
+
+Reference equivalents (SURVEY.md §2.1): the prototxt head stacks —
+ROIPool(7x7) -> fc6(4096)/ReLU/Dropout -> fc7(4096)/ReLU/Dropout -> heads.
+AZ head: 1 zoom sigmoid, K adjacency sigmoids, 4K regression outputs.
+FRCNN head: 21-way softmax ``cls_score`` + 84-d ``bbox_pred``.
+
+Init mirrors the lineage: gaussian(0.01) for scores, gaussian(0.001) for
+bbox regressors, zeros for biases. Heads return LOGITS; sigmoids/softmax are
+applied by the callers (losses want logits, search wants probabilities).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+
+class _FCStack(nn.Module):
+    """fc6/fc7 with ReLU + dropout, shared by both heads."""
+
+    fc_dim: int = 4096
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: [R, P, P, C] pooled roi features.
+        x = x.reshape((x.shape[0], -1)).astype(self.dtype)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc7")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x)
+        return x
+
+
+class AZHead(nn.Module):
+    """[R, P, P, C] roi features -> zoom/adjacency logits and deltas.
+
+    Returns dict: ``zoom [R]``, ``adj_score [R, K]`` (logits),
+    ``adj_delta [R, K, 4]`` (float32 regression outputs).
+    """
+
+    num_templates: int = 11
+    fc_dim: int = 4096
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_feats, train: bool = False):
+        k = self.num_templates
+        x = _FCStack(self.fc_dim, self.dropout, self.dtype, name="fc")(roi_feats, train)
+        zoom = nn.Dense(1, dtype=jnp.float32, name="zoom_score",
+                        kernel_init=nn.initializers.normal(0.01))(x)
+        adj = nn.Dense(k, dtype=jnp.float32, name="adj_score",
+                       kernel_init=nn.initializers.normal(0.01))(x)
+        delta = nn.Dense(4 * k, dtype=jnp.float32, name="adj_bbox",
+                         kernel_init=nn.initializers.normal(0.001))(x)
+        return {
+            "zoom": zoom[..., 0].astype(jnp.float32),
+            "adj_score": adj.astype(jnp.float32),
+            "adj_delta": delta.reshape(delta.shape[:-1] + (k, 4)).astype(jnp.float32),
+        }
+
+
+class FRCNNHead(nn.Module):
+    """[R, P, P, C] roi features -> ``cls_score [R, C]``, ``bbox_pred [R, 4C]``."""
+
+    num_classes: int = 21
+    fc_dim: int = 4096
+    dropout: float = 0.5
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, roi_feats, train: bool = False):
+        x = _FCStack(self.fc_dim, self.dropout, self.dtype, name="fc")(roi_feats, train)
+        cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls_score",
+                       kernel_init=nn.initializers.normal(0.01))(x)
+        bbox = nn.Dense(4 * self.num_classes, dtype=jnp.float32, name="bbox_pred",
+                        kernel_init=nn.initializers.normal(0.001))(x)
+        return {"cls_score": cls.astype(jnp.float32), "bbox_pred": bbox.astype(jnp.float32)}

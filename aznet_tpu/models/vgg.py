@@ -1,0 +1,49 @@
+"""VGG-16 convolutional trunk (conv1_1 .. conv5_3), stride 16.
+
+Reference equivalent: the VGG-16 prototxt trunk (models/VGG16/*, SURVEY.md
+§2.1) — 13 3x3 convs + ReLU with 4 max-pools; the 5th pool is NOT applied
+(fast-rcnn uses conv5_3 at stride 16 for ROI pooling). Layer names mirror
+the prototxt (conv1_1, ...) so converted Caffe weights map 1:1.
+
+TPU notes: NHWC layout, bfloat16 compute / float32 params by default; the
+convs are the MXU workload — XLA fuses the ReLUs.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+import flax.linen as nn
+
+# (name, channels) per conv; 'pool' entries are 2x2/2 max pools.
+VGG16_LAYOUT = (
+    ("conv1_1", 64), ("conv1_2", 64), ("pool1", None),
+    ("conv2_1", 128), ("conv2_2", 128), ("pool2", None),
+    ("conv3_1", 256), ("conv3_2", 256), ("conv3_3", 256), ("pool3", None),
+    ("conv4_1", 512), ("conv4_2", 512), ("conv4_3", 512), ("pool4", None),
+    ("conv5_1", 512), ("conv5_2", 512), ("conv5_3", 512),
+)
+
+
+class VGG16Trunk(nn.Module):
+    """Input [..., H, W, 3] (preprocessed BGR) -> [..., H/16, W/16, 512]."""
+
+    dtype: Any = jnp.bfloat16
+    # Freeze conv1/conv2 as the reference training does (fast-rcnn lineage
+    # sets lr_mult=0 for the first two blocks). Enforced by the optimizer
+    # mask in train/, not here.
+
+    feat_stride: int = 16
+    out_channels: int = 512
+
+    @nn.compact
+    def __call__(self, x):
+        x = x.astype(self.dtype)
+        for name, ch in VGG16_LAYOUT:
+            if ch is None:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+            else:
+                x = nn.Conv(ch, (3, 3), padding="SAME", name=name, dtype=self.dtype)(x)
+                x = nn.relu(x)
+        return x

@@ -1,0 +1,159 @@
+"""On-device adjacency-and-zoom search as a ``lax.while_loop``.
+
+Reference call stack being replaced (SURVEY.md §3.1): ``im_propose`` runs the
+trunk once, then host-loops over tree levels — writing a rois blob, calling
+``net.forward`` (device round-trip per level), reading back zoom/adjacency,
+decoding deltas and dividing regions in per-box NumPy. Here the whole loop is
+a single compiled program over fixed shapes:
+
+  state = (level, frontier [R,4]+valid, candidates [B,4]+scores)
+  while level < MAX_LEVELS and any(frontier valid):
+    head(feat, frontier)                      # ROI pool + fc + heads, on MXU
+    decode K adjacency boxes per region       # bbox_transform_inv, fused
+    merge R*K scored candidates into top-B    # lax.top_k eviction
+    children = divide(zoom > Tz regions)      # 5 per region
+    frontier = top-R children by parent zoom  # score-based eviction
+
+The padded-frontier + top-K-eviction design makes every shape static (XLA
+requirement) at a controlled cost: recall loss only occurs when more than R
+regions want to zoom at one level or more than B candidates are live —
+both measurable against the NumPy oracle (tests/test_search.py).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from aznet_tpu.config import SearchConfig
+from aznet_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from aznet_tpu.ops.nms import nms_topk
+from aznet_tpu.search.templates import (
+    adjacency_templates,
+    template_boxes,
+    divide_regions,
+    NUM_DIVISIONS,
+)
+
+NEG_INF = -1e30  # large-finite sentinel (avoids inf-inf NaN hazards)
+
+
+def seed_count(seed_levels: int) -> int:
+    """Static number of initial frontier regions: 1 + 5 + 25 + ..."""
+    return sum(NUM_DIVISIONS ** l for l in range(seed_levels + 1))
+
+
+def init_frontier(im_h, im_w, scfg: SearchConfig, offset: float = 1.0):
+    """Whole image + SEED_LEVELS of its divisions, padded to FRONTIER_CAP.
+
+    im_h/im_w may be traced scalars (dynamic valid extents on a static
+    canvas). Returns (boxes [R, 4], valid [R]).
+    """
+    r = scfg.FRONTIER_CAP
+    whole = jnp.stack(
+        [jnp.zeros_like(jnp.asarray(im_w, jnp.float32)),
+         jnp.zeros_like(jnp.asarray(im_h, jnp.float32)),
+         jnp.asarray(im_w, jnp.float32) - offset,
+         jnp.asarray(im_h, jnp.float32) - offset]
+    )[None, :]
+    seeds = [whole]
+    current = whole
+    for _ in range(scfg.SEED_LEVELS):
+        current = divide_regions(current, scfg.DIV_OVERLAP, offset).reshape(-1, 4)
+        seeds.append(current)
+    boxes = jnp.concatenate(seeds, axis=0)
+    n = boxes.shape[0]
+    if n > r:
+        raise ValueError(
+            f"SEED_LEVELS={scfg.SEED_LEVELS} yields {n} seed regions "
+            f"> FRONTIER_CAP={r}"
+        )
+    boxes = jnp.pad(boxes, ((0, r - n), (0, 0)))
+    valid = jnp.arange(r) < n
+    return boxes, valid
+
+
+def az_search(
+    roi_forward: Callable,
+    feat,
+    im_hw: Tuple,
+    scfg: SearchConfig,
+    num_templates: int = 11,
+    offset: float = 1.0,
+):
+    """Run the zoom search over one image's features.
+
+    Args:
+      roi_forward: ``(feat, rois [R, 4]) -> dict`` with LOGITS ``zoom [R]``,
+        ``adj_score [R, K]`` and deltas ``adj_delta [R, K, 4]`` (the AZNet
+        head under ``model.apply``).
+      feat: [h, w, C] trunk features of the (scaled) image.
+      im_hw: (height, width) valid extents of the scaled image; traced OK.
+      scfg: search config (thresholds, caps, NMS, proposal count).
+
+    Returns:
+      ``(boxes [N, 4], scores [N], valid [N])`` with N = NUM_PROPOSALS, in
+      the SCALED image's coordinates (callers divide by im_scale — the
+      reference's ``boxes / im_scale`` tail in im_propose).
+    """
+    r_cap = scfg.FRONTIER_CAP
+    b_cap = scfg.CAND_BUF
+    templates = adjacency_templates(num_templates)
+    im_h = jnp.asarray(im_hw[0], jnp.float32)
+    im_w = jnp.asarray(im_hw[1], jnp.float32)
+
+    f_boxes, f_valid = init_frontier(im_h, im_w, scfg, offset)
+    c_boxes = jnp.zeros((b_cap, 4), jnp.float32)
+    c_scores = jnp.full((b_cap,), NEG_INF, jnp.float32)
+    level = jnp.asarray(0, jnp.int32)
+
+    def cond(state):
+        level, f_boxes, f_valid, c_boxes, c_scores = state
+        return (level < scfg.MAX_LEVELS) & jnp.any(f_valid)
+
+    def body(state):
+        level, f_boxes, f_valid, c_boxes, c_scores = state
+        out = roi_forward(feat, f_boxes)
+        zoom_p = jax.nn.sigmoid(out["zoom"])  # [R]
+        adj_p = jax.nn.sigmoid(out["adj_score"])  # [R, K]
+        deltas = out["adj_delta"]  # [R, K, 4]
+
+        # Decode adjacency candidates against the template anchors.
+        anchors = template_boxes(f_boxes, templates, offset)  # [R, K, 4]
+        boxes = bbox_transform_inv(anchors, deltas, offset, clip=scfg.BBOX_XFORM_CLIP)
+        boxes = clip_boxes(boxes, (im_h, im_w), offset)
+        scores = jnp.where(f_valid[:, None], adj_p, NEG_INF)
+
+        # Merge into the candidate buffer (top-B eviction by score).
+        all_scores = jnp.concatenate([c_scores, scores.reshape(-1)])
+        all_boxes = jnp.concatenate([c_boxes, boxes.reshape(-1, 4)])
+        c_scores, idx = jax.lax.top_k(all_scores, b_cap)
+        c_boxes = all_boxes[idx]
+
+        # Zoom: divide qualifying regions, keep top-R children by parent zoom.
+        children = divide_regions(f_boxes, scfg.DIV_OVERLAP, offset)  # [R, 5, 4]
+        cw = children[..., 2] - children[..., 0] + offset
+        ch = children[..., 3] - children[..., 1] + offset
+        parent_ok = f_valid & (zoom_p > scfg.ZOOM_THRESH)
+        child_ok = parent_ok[:, None] & (jnp.minimum(cw, ch) >= scfg.MIN_SIZE)
+        priority = jnp.where(child_ok, zoom_p[:, None], NEG_INF).reshape(-1)
+        top_p, top_i = jax.lax.top_k(priority, r_cap)
+        f_boxes = children.reshape(-1, 4)[top_i]
+        f_valid = top_p > NEG_INF
+
+        return level + 1, f_boxes, f_valid, c_boxes, c_scores
+
+    state = (level, f_boxes, f_valid, c_boxes, c_scores)
+    _, _, _, c_boxes, c_scores = jax.lax.while_loop(cond, body, state)
+
+    # Confidence threshold, NMS, top-N — the reference's im_propose tail.
+    final_scores = jnp.where(c_scores >= scfg.CONF_THRESH, c_scores, NEG_INF)
+    live = final_scores > NEG_INF
+    boxes, scores, valid = nms_topk(
+        c_boxes, final_scores, scfg.NMS_THRESH, scfg.NUM_PROPOSALS,
+        valid=live, offset=offset,
+    )
+    return boxes, scores, valid

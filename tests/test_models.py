@@ -1,0 +1,101 @@
+"""Model shape/dtype tests on the small trunk (CPU-friendly sizes)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from aznet_tpu.config import ModelConfig
+from aznet_tpu.models import AZNet, FRCNN, get_backbone
+
+SMALL = ModelConfig(BACKBONE="smallnet", FC_DIM=64, NUM_TEMPLATES=5, NUM_CLASSES=4,
+                    COMPUTE_DTYPE="float32")
+
+
+def _init(model, h=64, w=64, r=3):
+    images = jnp.ones((1, h, w, 3))  # nonzero so head outputs depend on input
+    rois = jnp.array([[0.0, 0.0, 31.0, 31.0]] * r)
+    params = model.init(jax.random.PRNGKey(0), images, rois)
+    return params, images, rois
+
+
+def test_aznet_shapes():
+    model = AZNet(model_cfg=SMALL)
+    params, images, rois = _init(model)
+    out = model.apply(params, images, rois)
+    assert out["zoom"].shape == (3,)
+    assert out["adj_score"].shape == (3, 5)
+    assert out["adj_delta"].shape == (3, 5, 4)
+    assert out["zoom"].dtype == jnp.float32
+
+
+def test_aznet_two_stage_equals_call():
+    model = AZNet(model_cfg=SMALL)
+    params, images, rois = _init(model)
+    feat = model.apply(params, images, method="features")
+    assert feat.shape == (1, 4, 4, 128)
+    out2 = model.apply(params, feat[0], rois, method="roi_forward")
+    out1 = model.apply(params, images, rois)
+    np.testing.assert_allclose(np.asarray(out1["zoom"]), np.asarray(out2["zoom"]), atol=1e-6)
+
+
+def test_frcnn_shapes():
+    model = FRCNN(model_cfg=SMALL)
+    params, images, rois = _init(model)
+    out = model.apply(params, images, rois)
+    assert out["cls_score"].shape == (3, 4)
+    assert out["bbox_pred"].shape == (3, 16)
+
+
+def test_dropout_train_mode_stochastic():
+    model = AZNet(model_cfg=SMALL.__class__(**{**SMALL.__dict__, "DROPOUT": 0.9}))
+    params, images, rois = _init(model)
+    o1 = model.apply(params, images, rois, True, rngs={"dropout": jax.random.PRNGKey(1)})
+    o2 = model.apply(params, images, rois, True, rngs={"dropout": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o1["adj_score"]), np.asarray(o2["adj_score"]))
+    # eval mode deterministic
+    e1 = model.apply(params, images, rois)
+    e2 = model.apply(params, images, rois)
+    np.testing.assert_allclose(np.asarray(e1["adj_score"]), np.asarray(e2["adj_score"]))
+
+
+def test_vgg16_structure():
+    # Structure check only (params shapes), no forward (heavy on CPU).
+    from aznet_tpu.models.vgg import VGG16Trunk
+
+    trunk = VGG16Trunk(dtype=jnp.float32)
+    params = jax.eval_shape(
+        lambda: trunk.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)))
+    )
+    p = params["params"]
+    assert set(p) == {
+        "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2", "conv3_3",
+        "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2", "conv5_3",
+    }
+    assert p["conv5_3"]["kernel"].shape == (3, 3, 512, 512)
+    assert p["conv1_1"]["kernel"].shape == (3, 3, 3, 64)
+
+
+def test_vgg16_stride16():
+    from aznet_tpu.models.vgg import VGG16Trunk
+
+    trunk = VGG16Trunk(dtype=jnp.float32)
+    out = jax.eval_shape(
+        lambda: trunk.init_with_output(jax.random.PRNGKey(0), jnp.zeros((1, 96, 64, 3)))[0]
+    )
+    assert out.shape == (1, 6, 4, 512)
+
+
+def test_resnet50_stride16_and_channels():
+    from aznet_tpu.models.resnet import ResNet50Trunk
+
+    trunk = ResNet50Trunk(dtype=jnp.float32)
+    out = jax.eval_shape(
+        lambda: trunk.init_with_output(jax.random.PRNGKey(0), jnp.zeros((1, 64, 96, 3)))[0]
+    )
+    assert out.shape == (1, 4, 6, 1024)
+
+
+def test_backbone_factory_rejects_unknown():
+    with pytest.raises(ValueError):
+        get_backbone(ModelConfig(BACKBONE="alexnet"))
