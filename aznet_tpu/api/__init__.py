@@ -1,0 +1,203 @@
+"""Public inference API mirroring the reference.
+
+Reference equivalents (SURVEY.md §3.1/§3.2):
+  - ``im_propose(net, im)``          — lib/detect/test.py::im_propose
+  - ``im_detect(net, im, boxes)``    — lib/fast_rcnn/test.py::im_detect
+
+A ``Net`` bundles (flax module, params, config) — the role pycaffe's
+``caffe.Net`` plays for the reference. The host functions take a raw HWC BGR
+image (any size), do fused preprocessing onto a bucketed static canvas
+(bounded recompiles), run the fully on-device pipeline, and return NumPy
+results in ORIGINAL image coordinates, exactly like the reference:
+``im_propose`` -> float32 ``(N, 5) [x1, y1, x2, y2, score]``;
+``im_detect`` -> ``(scores (R, C), pred_boxes (R, 4C))``.
+
+``propose_batch`` / ``detect_batch`` are the jit-native batched variants
+(the throughput path; the reference has no equivalent — it is single-image
+host-driven).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from aznet_tpu.config import Config
+from aznet_tpu.models import AZNet, FRCNN
+from aznet_tpu.ops.boxes import bbox_transform_inv, clip_boxes
+from aznet_tpu.ops.preprocess import compute_scale, preprocess_image
+from aznet_tpu.search import az_search
+
+
+@dataclasses.dataclass
+class Net:
+    """Model + weights + config (the pycaffe ``caffe.Net`` role)."""
+
+    model: Any
+    params: Any
+    cfg: Config
+
+    def __post_init__(self):
+        self._jit_cache = {}
+
+
+def build_az_net(cfg: Config, params=None, rng=None) -> Net:
+    """Construct an AZ-Net ``Net`` (random-init if no params given)."""
+    model = AZNet(model_cfg=cfg.MODEL)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.RNG_SEED)
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        rois = jnp.array([[0.0, 0.0, 31.0, 31.0]])
+        params = model.init(rng, images, rois)
+    return Net(model, params, cfg)
+
+
+def build_frcnn_net(cfg: Config, params=None, rng=None) -> Net:
+    model = FRCNN(model_cfg=cfg.MODEL)
+    if params is None:
+        rng = rng if rng is not None else jax.random.PRNGKey(cfg.RNG_SEED)
+        images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        rois = jnp.array([[0.0, 0.0, 31.0, 31.0]])
+        params = model.init(rng, images, rois)
+    return Net(model, params, cfg)
+
+
+# ---------------------------------------------------------------------------
+# Canvas bucketing: bound the number of distinct compiled shapes.
+# ---------------------------------------------------------------------------
+
+
+def _canvas_for(h: int, w: int, cfg: Config, bucket: int = 64):
+    scale = compute_scale(h, w, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+    sh, sw = int(round(h * scale)), int(round(w * scale))
+    rup = lambda v: int(-(-v // bucket) * bucket)
+    return rup(sh), rup(sw)
+
+
+# ---------------------------------------------------------------------------
+# im_propose
+# ---------------------------------------------------------------------------
+
+
+def _propose_core(model, params, cfg: Config, image, canvas_hw):
+    """image: raw [H, W, 3] BGR (device array) -> (boxes, scores, valid) in
+    ORIGINAL image coordinates."""
+    blob, im_scale, (vh, vw) = preprocess_image(
+        image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+        canvas_hw[0], canvas_hw[1],
+    )
+    feat = model.apply(params, blob[None], method="features")[0]
+
+    def roi_fwd(f, r):
+        return model.apply(params, f, r, method="roi_forward")
+
+    boxes, scores, valid = az_search(
+        roi_fwd, feat, (vh, vw), cfg.SEAR,
+        num_templates=cfg.MODEL.NUM_TEMPLATES, offset=cfg.BOX_OFFSET,
+    )
+    return boxes / im_scale, scores, valid
+
+
+def im_propose(net: Net, im: np.ndarray) -> np.ndarray:
+    """Scored proposals for one raw BGR image -> float32 (N, 5).
+
+    Reference-mirroring host entry point; the device work is one compiled
+    program per canvas bucket.
+    """
+    cfg = net.cfg
+    canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
+    key = ("propose", canvas)
+    if key not in net._jit_cache:
+        net._jit_cache[key] = jax.jit(
+            partial(_propose_core, net.model, canvas_hw=canvas, cfg=cfg)
+        )
+    boxes, scores, valid = net._jit_cache[key](net.params, image=jnp.asarray(im))
+    n = int(np.asarray(valid).sum())
+    out = np.concatenate(
+        [np.asarray(boxes)[:n], np.asarray(scores)[:n, None]], axis=1
+    ).astype(np.float32)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# im_detect
+# ---------------------------------------------------------------------------
+
+
+def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw):
+    """Raw image + proposal boxes (original coords) -> (scores, pred_boxes)."""
+    blob, im_scale, (vh, vw) = preprocess_image(
+        image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
+        canvas_hw[0], canvas_hw[1],
+    )
+    feat = model.apply(params, blob[None], method="features")[0]
+    # Project rois to the scaled image (reference _project_im_rois).
+    rois = boxes * im_scale
+    out = model.apply(params, feat, rois, method="roi_forward")
+    scores = jax.nn.softmax(out["cls_score"], axis=-1)
+    # Decode against ORIGINAL-coordinate boxes, as the reference does.
+    pred = bbox_transform_inv(boxes, out["bbox_pred"], cfg.BOX_OFFSET)
+    h0 = jnp.asarray(image.shape[0], jnp.float32)
+    w0 = jnp.asarray(image.shape[1], jnp.float32)
+    pred = clip_boxes(pred, (h0, w0), cfg.BOX_OFFSET)
+    return scores, pred
+
+
+def im_detect(net: Net, im: np.ndarray, boxes: np.ndarray):
+    """Detection head forward: ``(scores (R, C), pred_boxes (R, 4C))``.
+
+    Boxes are padded to a multiple of 128 on device (static shapes); only
+    the first R rows are returned.
+    """
+    cfg = net.cfg
+    r = boxes.shape[0]
+    r_pad = max(128, int(-(-r // 128) * 128))
+    canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
+    key = ("detect", canvas, r_pad)
+    if key not in net._jit_cache:
+        net._jit_cache[key] = jax.jit(
+            partial(_detect_core, net.model, canvas_hw=canvas, cfg=cfg)
+        )
+    padded = np.zeros((r_pad, 4), np.float32)
+    padded[:r] = boxes[:, :4]
+    scores, pred = net._jit_cache[key](
+        net.params, image=jnp.asarray(im), boxes=jnp.asarray(padded)
+    )
+    return np.asarray(scores)[:r], np.asarray(pred)[:r]
+
+
+# ---------------------------------------------------------------------------
+# Batched jit-native variants (the TPU throughput path)
+# ---------------------------------------------------------------------------
+
+
+def make_propose_batch(model, cfg: Config, canvas_hw):
+    """Returns a jittable ``(params, images [B,H,W,3] raw BGR) -> (boxes,
+    scores, valid)`` over a fixed canvas; boxes in original coordinates."""
+
+    def fn(params, images):
+        def one(image):
+            return _propose_core(model, params, cfg, image, canvas_hw)
+
+        return jax.vmap(one)(images)
+
+    return fn
+
+
+def make_detect_batch(model, cfg: Config, canvas_hw):
+    """Returns a jittable ``(params, images, boxes [B,R,4]) -> (scores,
+    pred_boxes)`` batched detection forward."""
+
+    def fn(params, images, boxes):
+        def one(image, b):
+            return _detect_core(model, params, cfg, image, b, canvas_hw)
+
+        return jax.vmap(one)(images, boxes)
+
+    return fn

@@ -125,6 +125,10 @@ class ModelConfig:
     """Network architecture knobs (the reference keeps these in prototxts)."""
 
     BACKBONE: str = "vgg16"  # vgg16 | resnet50 | smallnet
+    # Channel-width multiplier (1.0 = the reference architecture). Smaller
+    # values keep the exact layer/sharding structure at a fraction of the
+    # FLOPs — used by multi-chip dry runs and CPU tests.
+    WIDTH: float = 1.0
     # Feature stride of the trunk output used for ROI pooling.
     FEAT_STRIDE: int = 16
     # ROI pooling: output grid and mode.

@@ -1,0 +1,166 @@
+"""Minibatch construction (host NumPy -> device-ready dict-of-arrays).
+
+Reference equivalents (SURVEY.md §2.2): ``lib/roi_data_layer/minibatch.py``
+(``get_minibatch``, ``_sample_rois``, ``_get_bbox_regression_labels``) and
+the AZ data layer (SURVEY.md §2.1). Same sampling semantics (2 ims/batch,
+128 rois, 25% fg, bg in [0.1, 0.5), class-indexed 4C target layout), but the
+output is padded fixed-shape NHWC arrays for jit.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List
+
+import numpy as np
+
+from aznet_tpu.config import Config
+from aznet_tpu.ops.preprocess import prep_im_for_blob, im_list_to_blob
+from aznet_tpu.search.templates import adjacency_templates
+from aznet_tpu.train.labels import az_labels_for_regions, sample_az_regions
+
+
+def _prep_images(imdb, entries: List[dict], cfg: Config, rng):
+    """Scale + mean-subtract each image; returns (blob, scales, scaled gts)."""
+    ims, scales, gts = [], [], []
+    for entry in entries:
+        im = imdb.image_array(entry)
+        target = cfg.TRAIN.SCALES[rng.randint(len(cfg.TRAIN.SCALES))]
+        im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target, cfg.TRAIN.MAX_SIZE)
+        ims.append(im)
+        scales.append(scale)
+        gts.append(entry["boxes"] * scale)
+    blob = im_list_to_blob(ims)
+    # Round spatial dims up for TPU-friendly static shapes.
+    mult = cfg.TEST.SIZE_MULTIPLE
+    h = int(-(-blob.shape[1] // mult) * mult)
+    w = int(-(-blob.shape[2] // mult) * mult)
+    if (h, w) != blob.shape[1:3]:
+        padded = np.zeros((blob.shape[0], h, w, 3), np.float32)
+        padded[:, : blob.shape[1], : blob.shape[2]] = blob
+        blob = padded
+    return blob, scales, gts
+
+
+def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng) -> Dict[str, np.ndarray]:
+    """AZ training batch from roidb entries (the AZ data layer's forward)."""
+    blob, scales, gts = _prep_images(imdb, entries, cfg, rng)
+    templates = np.asarray(adjacency_templates(cfg.MODEL.NUM_TEMPLATES))
+    b = len(entries)
+    r = cfg.TRAIN.REGIONS_PER_IMAGE
+    k = cfg.MODEL.NUM_TEMPLATES
+    batch = {
+        "images": blob,
+        "rois": np.zeros((b, r, 4), np.float32),
+        "roi_valid": np.zeros((b, r), bool),
+        "zoom_labels": np.zeros((b, r), np.float32),
+        "adj_labels": np.zeros((b, r, k), np.float32),
+        "adj_targets": np.zeros((b, r, k, 4), np.float32),
+        "adj_inside": np.zeros((b, r, k, 4), np.float32),
+    }
+    for i, entry in enumerate(entries):
+        hw = (entry["height"] * scales[i], entry["width"] * scales[i])
+        regions = sample_az_regions(gts[i], hw, cfg.TRAIN, rng, offset=cfg.BOX_OFFSET)
+        labels = az_labels_for_regions(regions, gts[i], cfg.TRAIN, templates,
+                                       offset=cfg.BOX_OFFSET)
+        n = regions.shape[0]
+        batch["rois"][i, :n] = regions
+        batch["roi_valid"][i, :n] = True
+        batch["zoom_labels"][i, :n] = labels["zoom_labels"]
+        batch["adj_labels"][i, :n] = labels["adj_labels"]
+        batch["adj_targets"][i, :n] = labels["adj_targets"]
+        batch["adj_inside"][i, :n] = labels["adj_inside"]
+    return batch
+
+
+def _iou_np(a, b, offset=1.0):
+    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
+          - np.maximum(a[:, None, 0], b[None, :, 0]) + offset)
+    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 1], b[None, :, 1]) + offset)
+    inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+    area_a = (a[:, 2] - a[:, 0] + offset) * (a[:, 3] - a[:, 1] + offset)
+    area_b = (b[:, 2] - b[:, 0] + offset) * (b[:, 3] - b[:, 1] + offset)
+    union = area_a[:, None] + area_b[None] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def _sample_rois(proposals, gt_boxes, gt_classes, cfg: Config, rng):
+    """fg/bg ROI sampling (reference ``_sample_rois``).
+
+    Returns (rois, labels, targets, inside) with ROIS_PER_IMAGE rows.
+    """
+    tcfg = cfg.TRAIN
+    rois_per_image = tcfg.BATCH_SIZE // tcfg.IMS_PER_BATCH
+    fg_per_image = int(round(tcfg.FG_FRACTION * rois_per_image))
+    # Include gt boxes among candidates, as the reference roidb does.
+    cand = np.concatenate([proposals[:, :4], gt_boxes], axis=0) if gt_boxes.size else proposals[:, :4]
+    if gt_boxes.size:
+        iou = _iou_np(cand, gt_boxes, cfg.BOX_OFFSET)
+        max_iou = iou.max(axis=1)
+        gt_assign = iou.argmax(axis=1)
+        labels = gt_classes[gt_assign].copy()
+    else:
+        max_iou = np.zeros(cand.shape[0])
+        gt_assign = np.zeros(cand.shape[0], np.int64)
+        labels = np.zeros(cand.shape[0], np.int32)
+
+    fg_idx = np.flatnonzero(max_iou >= tcfg.FG_THRESH)
+    bg_idx = np.flatnonzero((max_iou < tcfg.BG_THRESH_HI) & (max_iou >= tcfg.BG_THRESH_LO))
+    if bg_idx.size == 0:  # degenerate: fall back to lowest-overlap candidates
+        bg_idx = np.argsort(max_iou)[: max(rois_per_image - fg_idx.size, 1)]
+    n_fg = min(fg_per_image, fg_idx.size)
+    if n_fg:
+        fg_idx = rng.choice(fg_idx, n_fg, replace=False)
+    n_bg = rois_per_image - n_fg
+    bg_idx = rng.choice(bg_idx, n_bg, replace=bg_idx.size < n_bg)
+    keep = np.concatenate([fg_idx[:n_fg], bg_idx])
+    labels = labels[keep]
+    labels[n_fg:] = 0  # background
+
+    rois = cand[keep].astype(np.float32)
+    nc = cfg.MODEL.NUM_CLASSES
+    targets = np.zeros((rois.shape[0], 4 * nc), np.float32)
+    inside = np.zeros((rois.shape[0], 4 * nc), np.float32)
+    if gt_boxes.size and n_fg:
+        from aznet_tpu.train.labels import _bbox_transform_np
+
+        t = _bbox_transform_np(rois[:n_fg], gt_boxes[gt_assign[keep[:n_fg]]],
+                               cfg.BOX_OFFSET)
+        if tcfg.BBOX_NORMALIZE_TARGETS:
+            means = np.asarray(tcfg.BBOX_NORMALIZE_MEANS, np.float32)
+            stds = np.asarray(tcfg.BBOX_NORMALIZE_STDS, np.float32)
+            t = (t - means) / stds
+        for j in range(n_fg):
+            s = 4 * labels[j]
+            targets[j, s : s + 4] = t[j]
+            inside[j, s : s + 4] = 1.0
+    return rois, labels.astype(np.int32), targets, inside
+
+
+def get_frcnn_minibatch(imdb, entries: List[dict], proposals_by_entry: List[np.ndarray],
+                        cfg: Config, rng) -> Dict[str, np.ndarray]:
+    """Fast R-CNN training batch (reference ``get_minibatch``)."""
+    blob, scales, gts = _prep_images(imdb, entries, cfg, rng)
+    b = len(entries)
+    r = cfg.TRAIN.BATCH_SIZE // cfg.TRAIN.IMS_PER_BATCH
+    nc = cfg.MODEL.NUM_CLASSES
+    batch = {
+        "images": blob,
+        "rois": np.zeros((b, r, 4), np.float32),
+        "roi_valid": np.zeros((b, r), bool),
+        "labels": np.zeros((b, r), np.int32),
+        "bbox_targets": np.zeros((b, r, 4 * nc), np.float32),
+        "bbox_inside": np.zeros((b, r, 4 * nc), np.float32),
+    }
+    for i, entry in enumerate(entries):
+        props = proposals_by_entry[i][:, :4] * scales[i]
+        rois, labels, targets, inside = _sample_rois(
+            props, gts[i], entry["gt_classes"], cfg, rng
+        )
+        n = rois.shape[0]
+        batch["rois"][i, :n] = rois
+        batch["roi_valid"][i, :n] = True
+        batch["labels"][i, :n] = labels
+        batch["bbox_targets"][i, :n] = targets
+        batch["bbox_inside"][i, :n] = inside
+    return batch

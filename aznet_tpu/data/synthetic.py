@@ -1,0 +1,79 @@
+"""Synthetic planted-boxes dataset.
+
+No reference equivalent (the reference assumes VOC on disk); this exists so
+training, recall and mAP pipelines can run end-to-end on machines with no
+datasets (SURVEY.md §4 test plan: "search-loop tests on synthetic images
+with planted objects"). Images are noise backgrounds with filled colored
+rectangles; classes are color names. Deterministic per (split, seed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aznet_tpu.data.imdb import Imdb
+
+CLASSES = ("__background__", "red", "green", "blue")
+_COLORS = {
+    1: (40, 40, 200),   # BGR red-ish
+    2: (60, 200, 60),   # green
+    3: (220, 70, 40),   # blue
+}
+
+
+def make_image(rng: np.random.RandomState, h: int = 192, w: int = 256,
+               max_objects: int = 4):
+    """Returns (image HWC BGR uint8, boxes [G,4] f32, classes [G] int32)."""
+    im = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)
+    n = rng.randint(1, max_objects + 1)
+    boxes, classes = [], []
+    for _ in range(n):
+        bw = rng.randint(max(8, w // 16), w // 2)
+        bh = rng.randint(max(8, h // 16), h // 2)
+        x1 = rng.randint(0, w - bw)
+        y1 = rng.randint(0, h - bh)
+        cls = rng.randint(1, len(CLASSES))
+        color = np.array(_COLORS[cls], np.uint8)
+        jitter = rng.randint(-20, 20, 3)
+        im[y1 : y1 + bh, x1 : x1 + bw] = np.clip(
+            color.astype(int) + jitter, 0, 255
+        ).astype(np.uint8)
+        boxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
+        classes.append(cls)
+    return im, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
+
+
+class SyntheticImdb(Imdb):
+    def __init__(self, split: str = "train", seed: int = 0, num_images: int = 64,
+                 image_hw=(192, 256)):
+        super().__init__(f"synthetic_{split}", list(CLASSES))
+        self.seed = seed
+        self._n = num_images
+        self.image_hw = image_hw
+
+    @property
+    def num_images(self) -> int:
+        return self._n
+
+    def gt_roidb(self):
+        roidb = []
+        for i in range(self._n):
+            rng = np.random.RandomState(self.seed * 100003 + i)
+            im, boxes, classes = make_image(rng, *self.image_hw)
+            roidb.append(
+                {
+                    "image": im,
+                    "height": im.shape[0],
+                    "width": im.shape[1],
+                    "boxes": boxes,
+                    "gt_classes": classes,
+                    "flipped": False,
+                }
+            )
+        return roidb
+
+    def evaluate_detections(self, all_boxes, output_dir: str):
+        """Simple mean AP over the synthetic classes (VOC-style matching)."""
+        from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
+
+        return eval_detections_on_roidb(all_boxes, self.roidb, self.num_classes)

@@ -27,15 +27,21 @@ VGG16_LAYOUT = (
 
 
 class VGG16Trunk(nn.Module):
-    """Input [..., H, W, 3] (preprocessed BGR) -> [..., H/16, W/16, 512]."""
+    """Input [..., H, W, 3] (preprocessed BGR) -> [..., H/16, W/16, 512*width]."""
 
     dtype: Any = jnp.bfloat16
+    # Channel-width multiplier: 1.0 = the reference VGG-16; smaller keeps
+    # the structure (layer names, sharding rules) at reduced cost.
+    width: float = 1.0
     # Freeze conv1/conv2 as the reference training does (fast-rcnn lineage
     # sets lr_mult=0 for the first two blocks). Enforced by the optimizer
     # mask in train/, not here.
 
     feat_stride: int = 16
-    out_channels: int = 512
+
+    @property
+    def out_channels(self) -> int:
+        return max(int(512 * self.width), 8)
 
     @nn.compact
     def __call__(self, x):
@@ -44,6 +50,7 @@ class VGG16Trunk(nn.Module):
             if ch is None:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
+                ch = max(int(ch * self.width), 8)
                 x = nn.Conv(ch, (3, 3), padding="SAME", name=name, dtype=self.dtype)(x)
                 x = nn.relu(x)
         return x

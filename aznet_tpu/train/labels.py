@@ -1,0 +1,179 @@
+"""AZ training label generation (host, NumPy — one-time per minibatch).
+
+Reference equivalent (SURVEY.md §2.1 "AZ training"): the roidb/label prep in
+``lib/detect/train.py`` — the novel part vs fast-rcnn. Rules (AZ paper §3.3
+as reconstructed; exact reference constants unverifiable — empty mount):
+
+- **Zoom label** z*(region) = 1 iff the region contains a gt object (inter/
+  gt-area >= ZOOM_CONTAIN_THRESH) that is small relative to the region
+  (gt area / region area < ZOOM_AREA_FRAC) — i.e. further subdivision is
+  needed to localize it.
+- **Adjacency labels**: each of the K template anchors matches the gt box
+  with highest IoU; confidence label 1 iff that IoU >= ADJ_FG_THRESH, and a
+  smooth-L1 regression target (bbox_transform) toward it, normalized by
+  BBOX_NORMALIZE_MEANS/STDS (the fast-rcnn trick; the stds are un-baked at
+  checkpoint time or applied at decode — see utils/checkpoint.py).
+
+Region sampling mirrors the reference's "gt-perturbation + simulated search
+tree" scheme: the deterministic division tree down to a few levels plus
+jittered gt boxes, subsampled with a positive/negative balance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from aznet_tpu.config import TrainConfig
+
+
+def _area(b, offset=1.0):
+    return (b[..., 2] - b[..., 0] + offset) * (b[..., 3] - b[..., 1] + offset)
+
+
+def _inter(a, b, offset=1.0):
+    """Pairwise intersection areas [N, G]."""
+    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
+          - np.maximum(a[:, None, 0], b[None, :, 0]) + offset)
+    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
+          - np.maximum(a[:, None, 1], b[None, :, 1]) + offset)
+    return np.maximum(iw, 0) * np.maximum(ih, 0)
+
+
+def _iou(a, b, offset=1.0):
+    inter = _inter(a, b, offset)
+    union = _area(a, offset)[:, None] + _area(b, offset)[None] - inter
+    return np.where(union > 0, inter / union, 0.0)
+
+
+def _bbox_transform_np(ex, gt, offset=1.0):
+    ew = ex[:, 2] - ex[:, 0] + offset
+    eh = ex[:, 3] - ex[:, 1] + offset
+    ecx = ex[:, 0] + 0.5 * ew
+    ecy = ex[:, 1] + 0.5 * eh
+    gw = gt[:, 2] - gt[:, 0] + offset
+    gh = gt[:, 3] - gt[:, 1] + offset
+    gcx = gt[:, 0] + 0.5 * gw
+    gcy = gt[:, 1] + 0.5 * gh
+    return np.stack(
+        [(gcx - ecx) / ew, (gcy - ecy) / eh, np.log(gw / ew), np.log(gh / eh)], axis=1
+    ).astype(np.float32)
+
+
+def division_tree_regions(im_hw, levels: int, min_size: float = 0.0,
+                          offset: float = 1.0) -> np.ndarray:
+    """All regions of the full division tree down to ``levels`` (no gating)."""
+    from aznet_tpu.search.oracle import _apply_normalized_np, _DIV_TABLE
+
+    h, w = float(im_hw[0]), float(im_hw[1])
+    whole = np.array([[0.0, 0.0, w - offset, h - offset]], np.float32)
+    out = [whole]
+    current = whole
+    for _ in range(levels):
+        current = _apply_normalized_np(current, _DIV_TABLE, offset).reshape(-1, 4)
+        if min_size:
+            sz = np.minimum(current[:, 2] - current[:, 0] + offset,
+                            current[:, 3] - current[:, 1] + offset)
+            current = current[sz >= min_size]
+        if current.size == 0:
+            break
+        out.append(current)
+    return np.concatenate(out, axis=0)
+
+
+def perturb_gt_regions(gt: np.ndarray, im_hw, n_per_gt: int, rng,
+                       offset: float = 1.0) -> np.ndarray:
+    """Jittered-scale/translated copies of gt boxes (positive-rich anchors)."""
+    if gt.shape[0] == 0 or n_per_gt == 0:
+        return np.zeros((0, 4), np.float32)
+    h, w = float(im_hw[0]), float(im_hw[1])
+    reps = np.repeat(gt, n_per_gt, axis=0).astype(np.float32)
+    gw = reps[:, 2] - reps[:, 0] + offset
+    gh = reps[:, 3] - reps[:, 1] + offset
+    scale = np.exp(rng.uniform(-0.4, 0.6, (reps.shape[0], 2)))
+    shift = rng.uniform(-0.2, 0.2, (reps.shape[0], 2))
+    cx = reps[:, 0] + 0.5 * gw + shift[:, 0] * gw
+    cy = reps[:, 1] + 0.5 * gh + shift[:, 1] * gh
+    nw = gw * scale[:, 0]
+    nh = gh * scale[:, 1]
+    out = np.stack(
+        [cx - 0.5 * nw, cy - 0.5 * nh, cx + 0.5 * nw - offset, cy + 0.5 * nh - offset],
+        axis=1,
+    )
+    out[:, 0::2] = np.clip(out[:, 0::2], 0, w - offset)
+    out[:, 1::2] = np.clip(out[:, 1::2], 0, h - offset)
+    return out.astype(np.float32)
+
+
+def az_labels_for_regions(regions: np.ndarray, gt: np.ndarray,
+                          tcfg: TrainConfig, templates: np.ndarray,
+                          offset: float = 1.0):
+    """Labels for anchor ``regions [R, 4]`` against ``gt [G, 4]``.
+
+    Returns dict: zoom_labels [R], adj_labels [R, K], adj_targets [R, K, 4]
+    (normalized), adj_inside [R, K, 4].
+    """
+    from aznet_tpu.search.oracle import _apply_normalized_np
+
+    r = regions.shape[0]
+    k = templates.shape[0]
+    out = {
+        "zoom_labels": np.zeros((r,), np.float32),
+        "adj_labels": np.zeros((r, k), np.float32),
+        "adj_targets": np.zeros((r, k, 4), np.float32),
+        "adj_inside": np.zeros((r, k, 4), np.float32),
+    }
+    if gt.shape[0] == 0 or r == 0:
+        return out
+
+    # Zoom: contained & relatively-small gt exists.
+    inter = _inter(gt, regions, offset)  # [G, R]
+    contained = inter / _area(gt, offset)[:, None] >= tcfg.ZOOM_CONTAIN_THRESH
+    small = (_area(gt, offset)[:, None] / _area(regions, offset)[None]
+             < tcfg.ZOOM_AREA_FRAC)
+    out["zoom_labels"] = np.any(contained & small, axis=0).astype(np.float32)
+
+    # Adjacency: per-template anchor matching.
+    anchors = _apply_normalized_np(regions, templates, offset)  # [R, K, 4]
+    flat = anchors.reshape(-1, 4)
+    iou = _iou(flat, gt, offset)  # [R*K, G]
+    best = np.argmax(iou, axis=1)
+    best_iou = iou[np.arange(iou.shape[0]), best]
+    pos = best_iou >= tcfg.ADJ_FG_THRESH
+    targets = _bbox_transform_np(flat, gt[best], offset)
+    if tcfg.BBOX_NORMALIZE_TARGETS:
+        means = np.asarray(tcfg.BBOX_NORMALIZE_MEANS, np.float32)
+        stds = np.asarray(tcfg.BBOX_NORMALIZE_STDS, np.float32)
+        targets = (targets - means) / stds
+    out["adj_labels"] = pos.reshape(r, k).astype(np.float32)
+    out["adj_targets"] = np.where(pos[:, None], targets, 0.0).reshape(r, k, 4)
+    out["adj_inside"] = np.repeat(pos[:, None], 4, axis=1).astype(np.float32).reshape(r, k, 4)
+    return out
+
+
+def sample_az_regions(gt: np.ndarray, im_hw, tcfg: TrainConfig, rng,
+                      tree_levels: int = 3, n_per_gt: int = 8,
+                      offset: float = 1.0) -> np.ndarray:
+    """Anchor regions for one image: division tree + jittered gt, subsampled
+    to TRAIN.REGIONS_PER_IMAGE with a positive bias."""
+    tree = division_tree_regions(im_hw, tree_levels, offset=offset)
+    jitter = perturb_gt_regions(gt, im_hw, n_per_gt, rng, offset=offset)
+    regions = np.concatenate([tree, jitter], axis=0)
+    n = tcfg.REGIONS_PER_IMAGE
+    if regions.shape[0] <= n:
+        return regions
+    # Bias sampling toward regions that overlap gt at all.
+    if gt.shape[0]:
+        ov = _iou(regions, gt, offset).max(axis=1)
+    else:
+        ov = np.zeros(regions.shape[0])
+    pos_idx = np.flatnonzero(ov >= 0.3)
+    neg_idx = np.flatnonzero(ov < 0.3)
+    n_pos = min(len(pos_idx), n // 2)
+    pick_pos = rng.choice(pos_idx, n_pos, replace=False) if n_pos else np.zeros(0, np.int64)
+    n_neg = n - n_pos
+    if len(neg_idx) >= n_neg:
+        pick_neg = rng.choice(neg_idx, n_neg, replace=False)
+    else:
+        pick_neg = np.concatenate(
+            [neg_idx, rng.choice(regions.shape[0], n_neg - len(neg_idx))])
+    return regions[np.concatenate([pick_pos, pick_neg]).astype(np.int64)]

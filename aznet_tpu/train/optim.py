@@ -1,0 +1,45 @@
+"""Optimizer: SGD + momentum + weight decay + step LR (Caffe solver parity).
+
+Reference: the solver prototxts (SURVEY.md §2.1 — SGD, momentum 0.9, weight
+decay 5e-4, step LR gamma 0.1). optax equivalents, plus a mask so biases and
+norm scales skip weight decay (Caffe's decay_mult=0 convention on biases).
+"""
+
+from __future__ import annotations
+
+import optax
+
+from aznet_tpu.config import TrainConfig
+
+
+def lr_schedule(tcfg: TrainConfig):
+    """Step decay: LR * GAMMA every STEPSIZE iterations."""
+    return optax.exponential_decay(
+        init_value=tcfg.LEARNING_RATE,
+        transition_steps=tcfg.STEPSIZE,
+        decay_rate=tcfg.GAMMA,
+        staircase=True,
+    )
+
+
+def _decay_mask(params):
+    """True for kernels (decayed), False for biases/scales (decay_mult=0)."""
+    import jax
+
+    def rule(path, leaf):
+        name = str(getattr(path[-1], "key", getattr(path[-1], "name", "")))
+        return name not in ("bias", "scale")
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
+def make_optimizer(tcfg: TrainConfig, params=None):
+    tx = [
+        optax.add_decayed_weights(
+            tcfg.WEIGHT_DECAY, mask=_decay_mask if tcfg.WEIGHT_DECAY else None
+        ),
+        optax.sgd(lr_schedule(tcfg), momentum=tcfg.MOMENTUM),
+    ]
+    if tcfg.GRAD_CLIP:
+        tx.insert(0, optax.clip_by_global_norm(tcfg.GRAD_CLIP))
+    return optax.chain(*tx)

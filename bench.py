@@ -1,0 +1,108 @@
+"""Benchmark: AZ-Net VGG-16 proposal-generation throughput.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Measures the BASELINE.json headline — batched proposal generation (raw BGR
+image -> fused preprocess -> VGG-16 trunk -> on-device zoom search -> NMS'd
+scored boxes) at the reference test scale (VOC-sized 375x500 inputs, scaled
+to 600x800). ``vs_baseline`` normalizes against the north-star 5,000 img/s
+on 8 chips, i.e. 625 img/s per chip, scaled by the visible device count.
+
+Env knobs:
+  AZNET_BENCH_PRESET=smoke   tiny config for CPU sanity runs
+  AZNET_BENCH_BATCH=N        per-device batch (default: autotuned small set)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+
+def _build(preset: str):
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.config import Config, cfg_from_dict
+    from aznet_tpu.api import build_az_net, make_propose_batch
+
+    if preset == "smoke":
+        cfg = cfg_from_dict(
+            Config(),
+            {
+                "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 64, "NUM_TEMPLATES": 11,
+                          "COMPUTE_DTYPE": "float32"},
+                "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 256, "MAX_LEVELS": 2,
+                         "NUM_PROPOSALS": 50},
+                "TEST": {"SCALES": (64,), "MAX_SIZE": 128},
+            },
+        )
+        raw_hw = (96, 128)
+        canvas = (64, 128)
+    else:
+        cfg = Config()  # VGG-16, SEAR defaults (depth 6, cap 64, N=300)
+        raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
+        canvas = (608, 800)
+    net = build_az_net(cfg)
+    fn = make_propose_batch(net.model, cfg, canvas)
+    return net, fn, raw_hw
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    preset = os.environ.get("AZNET_BENCH_PRESET", "full")
+    n_dev = len(jax.devices())
+    net, fn, raw_hw = _build(preset)
+    jfn = jax.jit(fn)
+
+    rng = np.random.RandomState(0)
+
+    def run_batch(b):
+        ims = jnp.asarray(rng.randint(0, 256, (b,) + raw_hw + (3,)).astype(np.uint8))
+        out = jfn(net.params, ims)
+        jax.block_until_ready(out)
+        # timed
+        reps = 3 if preset != "smoke" else 2
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = jfn(net.params, ims)
+        jax.block_until_ready(out)
+        dt = (time.perf_counter() - t0) / reps
+        return b / dt
+
+    if os.environ.get("AZNET_BENCH_BATCH"):
+        batches = [int(os.environ["AZNET_BENCH_BATCH"])]
+    elif preset == "smoke":
+        batches = [2]
+    else:
+        batches = [4, 8, 16]
+
+    best = 0.0
+    for b in batches:
+        try:
+            ips = run_batch(b)
+        except Exception as e:  # OOM etc.: keep the best completed config
+            print(f"# batch {b} failed: {type(e).__name__}", flush=True)
+            break
+        print(f"# batch {b}: {ips:.2f} img/s", flush=True)
+        best = max(best, ips)
+
+    per_chip_target = 5000.0 / 8.0
+    vs = best / (per_chip_target * n_dev) if best else 0.0
+    metric = ("propose_images_per_sec_vgg16_600x800" if preset != "smoke"
+              else "propose_images_per_sec_smoke")
+    print(json.dumps({
+        "metric": metric,
+        "value": round(best, 2),
+        "unit": "img/s",
+        "vs_baseline": round(vs, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

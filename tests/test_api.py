@@ -1,0 +1,70 @@
+"""Public API: im_propose / im_detect reference-mirroring behavior."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aznet_tpu.config import Config, cfg_from_dict
+from aznet_tpu.api import build_az_net, build_frcnn_net, im_propose, im_detect, make_propose_batch
+
+CFG = cfg_from_dict(
+    Config(),
+    {
+        "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                  "NUM_CLASSES": 4, "COMPUTE_DTYPE": "float32"},
+        "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 128, "MAX_LEVELS": 2,
+                 "NUM_PROPOSALS": 10},
+        "TEST": {"SCALES": [64], "MAX_SIZE": 128},
+    },
+)
+
+
+def test_im_propose_shape_and_coords():
+    net = build_az_net(CFG)
+    im = np.random.RandomState(0).randint(0, 256, (100, 150, 3)).astype(np.uint8)
+    dets = im_propose(net, im)
+    assert dets.dtype == np.float32
+    assert dets.shape[1] == 5
+    assert dets.shape[0] <= 10
+    # Original-coordinate boxes inside the raw image.
+    assert (dets[:, 0] >= 0).all() and (dets[:, 2] <= 150).all()
+    assert (dets[:, 3] <= 100).all()
+    # Sorted by score.
+    assert (np.diff(dets[:, 4]) <= 1e-6).all()
+
+
+def test_im_propose_jit_cache_reuse():
+    net = build_az_net(CFG)
+    im1 = np.random.RandomState(1).randint(0, 256, (100, 150, 3)).astype(np.uint8)
+    im2 = np.random.RandomState(2).randint(0, 256, (90, 140, 3)).astype(np.uint8)
+    im_propose(net, im1)
+    n_compiled = len(net._jit_cache)
+    im_propose(net, im2)  # same canvas bucket -> no recompile
+    assert len(net._jit_cache) == n_compiled
+
+
+def test_im_detect_shapes():
+    net = build_frcnn_net(CFG)
+    im = np.random.RandomState(3).randint(0, 256, (80, 120, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 60, 60], [5, 20, 100, 70], [0, 0, 119, 79]], np.float32)
+    scores, pred = im_detect(net, im, boxes)
+    assert scores.shape == (3, 4)
+    assert pred.shape == (3, 16)
+    np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-4)  # softmax
+    # Clipped to the raw image.
+    assert pred.min() >= 0 and pred[:, 0::2].max() <= 119 and pred[:, 1::2].max() <= 79
+
+
+def test_propose_batch_matches_single():
+    import jax
+
+    net = build_az_net(CFG)
+    rng = np.random.RandomState(5)
+    ims = rng.randint(0, 256, (2, 96, 128, 3)).astype(np.uint8)
+    fn = jax.jit(make_propose_batch(net.model, net.cfg, (64, 128)))
+    boxes, scores, valid = fn(net.params, jnp.asarray(ims))
+    assert boxes.shape == (2, 10, 4)
+    # single-image host path on the same canvas bucket gives the same result
+    d0 = im_propose(net, ims[0])
+    n0 = int(np.asarray(valid[0]).sum())
+    assert n0 == d0.shape[0]
+    np.testing.assert_allclose(np.asarray(scores[0])[:n0], d0[:, 4], atol=1e-5)

@@ -1,0 +1,126 @@
+"""Train steps: loss sanity, overfitting a fixed batch, optimizer parity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from aznet_tpu.config import Config, cfg_from_dict
+from aznet_tpu.models import AZNet, FRCNN
+from aznet_tpu.train import (
+    az_loss,
+    frcnn_loss,
+    make_az_train_state,
+    make_az_train_step,
+    make_frcnn_train_state,
+    make_frcnn_train_step,
+    lr_schedule,
+)
+
+CFG = cfg_from_dict(
+    Config(),
+    {
+        "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                  "NUM_CLASSES": 4, "COMPUTE_DTYPE": "float32", "DROPOUT": 0.1},
+        "TRAIN": {"LEARNING_RATE": 0.03, "STEPSIZE": 1000},
+    },
+)
+
+B, R, K, C = 2, 8, 5, 4
+
+
+def _az_batch(rng):
+    return {
+        "images": jnp.asarray(rng.uniform(-1, 1, (B, 64, 64, 3)).astype(np.float32)),
+        "rois": jnp.asarray(rng.uniform(0, 40, (B, R, 4)).astype(np.float32))
+        .at[..., 2:].add(16.0),
+        "roi_valid": jnp.ones((B, R), bool),
+        "zoom_labels": jnp.asarray(rng.randint(0, 2, (B, R)).astype(np.float32)),
+        "adj_labels": jnp.asarray(rng.randint(0, 2, (B, R, K)).astype(np.float32)),
+        "adj_targets": jnp.asarray(rng.normal(0, 0.1, (B, R, K, 4)).astype(np.float32)),
+        "adj_inside": jnp.ones((B, R, K, 4), jnp.float32),
+    }
+
+
+def _frcnn_batch(rng):
+    labels = rng.randint(0, C, (B, R))
+    inside = np.zeros((B, R, 4 * C), np.float32)
+    targets = np.zeros((B, R, 4 * C), np.float32)
+    for b in range(B):
+        for r in range(R):
+            if labels[b, r] > 0:
+                s = 4 * labels[b, r]
+                inside[b, r, s : s + 4] = 1.0
+                targets[b, r, s : s + 4] = rng.normal(0, 0.1, 4)
+    return {
+        "images": jnp.asarray(rng.uniform(-1, 1, (B, 64, 64, 3)).astype(np.float32)),
+        "rois": jnp.asarray(rng.uniform(0, 40, (B, R, 4)).astype(np.float32))
+        .at[..., 2:].add(16.0),
+        "roi_valid": jnp.ones((B, R), bool),
+        "labels": jnp.asarray(labels),
+        "bbox_targets": jnp.asarray(targets),
+        "bbox_inside": jnp.asarray(inside),
+    }
+
+
+def test_az_loss_finite_and_components():
+    model = AZNet(model_cfg=CFG.MODEL)
+    state = make_az_train_state(CFG, model, jax.random.PRNGKey(0))
+    batch = _az_batch(np.random.RandomState(0))
+    loss, metrics = az_loss(model, state.params, batch)
+    assert np.isfinite(float(loss))
+    assert float(metrics["zoom_loss"]) > 0
+    assert float(metrics["adj_loss"]) > 0
+    assert float(metrics["bbox_loss"]) >= 0
+
+
+def test_az_overfit_fixed_batch():
+    model = AZNet(model_cfg=CFG.MODEL)
+    state = make_az_train_state(CFG, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_az_train_step(model))
+    batch = _az_batch(np.random.RandomState(1))
+    rng = jax.random.PRNGKey(42)
+    loss0 = float(az_loss(model, state.params, batch)[0])
+    for _ in range(60):
+        state, metrics = step(state, batch, rng)
+    loss1 = float(az_loss(model, state.params, batch)[0])
+    assert loss1 < loss0 * 0.8, (loss0, loss1)
+    assert float(metrics["grad_norm"]) > 0
+
+
+def test_frcnn_overfit_fixed_batch():
+    model = FRCNN(model_cfg=CFG.MODEL)
+    state = make_frcnn_train_state(CFG, model, jax.random.PRNGKey(0))
+    step = jax.jit(make_frcnn_train_step(model))
+    batch = _frcnn_batch(np.random.RandomState(2))
+    rng = jax.random.PRNGKey(42)
+    loss0 = float(frcnn_loss(model, state.params, batch)[0])
+    for _ in range(60):
+        state, metrics = step(state, batch, rng)
+    loss1 = float(frcnn_loss(model, state.params, batch)[0])
+    assert loss1 < loss0 * 0.8, (loss0, loss1)
+    assert float(metrics["acc"]) >= 0
+
+
+def test_masked_rois_do_not_contribute():
+    model = AZNet(model_cfg=CFG.MODEL)
+    state = make_az_train_state(CFG, model, jax.random.PRNGKey(0))
+    batch = _az_batch(np.random.RandomState(3))
+    # Zero out half the rois via the mask; corrupting their labels must not
+    # change the loss.
+    valid = np.ones((B, R), bool)
+    valid[:, R // 2 :] = False
+    batch["roi_valid"] = jnp.asarray(valid)
+    loss_a = float(az_loss(model, state.params, batch)[0])
+    corrupted = dict(batch)
+    corrupted["zoom_labels"] = batch["zoom_labels"].at[:, R // 2 :].set(1.0)
+    corrupted["adj_labels"] = batch["adj_labels"].at[:, R // 2 :].set(1.0)
+    corrupted["adj_targets"] = batch["adj_targets"].at[:, R // 2 :].add(5.0)
+    loss_b = float(az_loss(model, state.params, corrupted)[0])
+    assert abs(loss_a - loss_b) < 1e-5
+
+
+def test_lr_schedule_step_decay():
+    sched = lr_schedule(CFG.TRAIN)
+    assert abs(float(sched(0)) - 0.03) < 1e-6
+    assert abs(float(sched(1000)) - 0.003) < 1e-7
+    assert abs(float(sched(2500)) - 0.0003) < 1e-8
