@@ -19,7 +19,22 @@ from aznet_tpu.search.templates import adjacency_templates
 from aznet_tpu.train.labels import az_labels_for_regions, sample_az_regions
 
 
-def _prep_images(imdb, entries: List[dict], cfg: Config, rng):
+def fixed_canvas(imdb, cfg: Config):
+    """Static training canvas: max scaled image size over the roidb, rounded
+    up to SIZE_MULTIPLE — so every minibatch compiles to ONE program."""
+    from aznet_tpu.ops.preprocess import compute_scale
+
+    mh = mw = 1
+    target = max(cfg.TRAIN.SCALES)
+    for e in imdb.roidb:
+        s = compute_scale(e["height"], e["width"], target, cfg.TRAIN.MAX_SIZE)
+        mh = max(mh, int(round(e["height"] * s)))
+        mw = max(mw, int(round(e["width"] * s)))
+    mult = cfg.TEST.SIZE_MULTIPLE
+    return int(-(-mh // mult) * mult), int(-(-mw // mult) * mult)
+
+
+def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
     """Scale + mean-subtract each image; returns (blob, scales, scaled gts)."""
     ims, scales, gts = [], [], []
     for entry in entries:
@@ -34,6 +49,8 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng):
     mult = cfg.TEST.SIZE_MULTIPLE
     h = int(-(-blob.shape[1] // mult) * mult)
     w = int(-(-blob.shape[2] // mult) * mult)
+    if canvas is not None:
+        h, w = max(h, canvas[0]), max(w, canvas[1])
     if (h, w) != blob.shape[1:3]:
         padded = np.zeros((blob.shape[0], h, w, 3), np.float32)
         padded[:, : blob.shape[1], : blob.shape[2]] = blob
@@ -41,9 +58,9 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng):
     return blob, scales, gts
 
 
-def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng) -> Dict[str, np.ndarray]:
+def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
     """AZ training batch from roidb entries (the AZ data layer's forward)."""
-    blob, scales, gts = _prep_images(imdb, entries, cfg, rng)
+    blob, scales, gts = _prep_images(imdb, entries, cfg, rng, canvas)
     templates = np.asarray(adjacency_templates(cfg.MODEL.NUM_TEMPLATES))
     b = len(entries)
     r = cfg.TRAIN.REGIONS_PER_IMAGE
@@ -138,9 +155,9 @@ def _sample_rois(proposals, gt_boxes, gt_classes, cfg: Config, rng):
 
 
 def get_frcnn_minibatch(imdb, entries: List[dict], proposals_by_entry: List[np.ndarray],
-                        cfg: Config, rng) -> Dict[str, np.ndarray]:
+                        cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
     """Fast R-CNN training batch (reference ``get_minibatch``)."""
-    blob, scales, gts = _prep_images(imdb, entries, cfg, rng)
+    blob, scales, gts = _prep_images(imdb, entries, cfg, rng, canvas)
     b = len(entries)
     r = cfg.TRAIN.BATCH_SIZE // cfg.TRAIN.IMS_PER_BATCH
     nc = cfg.MODEL.NUM_CLASSES

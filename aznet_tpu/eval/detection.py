@@ -1,0 +1,97 @@
+"""Dataset-level inference drivers: propose-all, recall eval, full detection.
+
+Reference equivalents (SURVEY.md §3.4/§3.5): the test tool loops — per
+image: ``im_propose`` (recall mode) or ``im_propose`` + ``im_detect`` +
+per-class NMS (mAP mode), detections cached and handed to
+``imdb.evaluate_detections``.
+"""
+
+from __future__ import annotations
+
+import pickle
+import os
+from typing import List, Optional
+
+import numpy as np
+
+from aznet_tpu.api import Net, im_propose, im_detect
+from aznet_tpu.config import Config
+from aznet_tpu.ops.nms import nms
+from aznet_tpu.utils.timer import Timer
+
+
+def propose_all(net: Net, imdb, max_images: Optional[int] = None,
+                verbose: bool = False) -> List[np.ndarray]:
+    """im_propose over an imdb. Returns per-image [N, 5] dets."""
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    timer = Timer()
+    out = []
+    for i in range(n):
+        entry = imdb.roidb[i]
+        im = imdb.image_array(entry)
+        timer.tic()
+        out.append(im_propose(net, im))
+        t = timer.toc(average=False)
+        if verbose and (i + 1) % 50 == 0:
+            print(f"propose {i + 1}/{n} {t:.3f}s (avg {timer.average_time:.3f}s)")
+    return out
+
+
+def evaluate_recall(net: Net, imdb, top_ks=(100, 300, 1000),
+                    max_images: Optional[int] = None):
+    """Proposal recall table over an imdb (BASELINE config 2)."""
+    from aznet_tpu.eval.recall import recall_table
+
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    proposals = propose_all(net, imdb, max_images=n)
+    gts = [imdb.roidb[i]["boxes"] for i in range(n)]
+    return recall_table(gts, proposals, top_ks=top_ks)
+
+
+def detect_all(az_net: Net, frcnn_net: Net, imdb,
+               max_images: Optional[int] = None,
+               max_per_image: Optional[int] = None,
+               cache_file: Optional[str] = None):
+    """Full pipeline: AZ proposals -> FRCNN -> per-class NMS.
+
+    Returns ``all_boxes[cls][img] = [N, 5]`` (the reference's detection
+    cache structure; optionally pickled like the reference's
+    ``detections.pkl``).
+    """
+    cfg = frcnn_net.cfg
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    max_per_image = max_per_image or cfg.TEST.MAX_PER_IMAGE
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(n)]
+                 for _ in range(num_classes)]
+    for i in range(n):
+        entry = imdb.roidb[i]
+        im = imdb.image_array(entry)
+        dets = im_propose(az_net, im)
+        if dets.shape[0] == 0:
+            continue
+        scores, boxes = im_detect(frcnn_net, im, dets[:, :4])
+        for c in range(1, num_classes):
+            keep = scores[:, c] > cfg.TEST.SCORE_THRESH
+            cls_dets = np.concatenate(
+                [boxes[keep, 4 * c : 4 * c + 4], scores[keep, c : c + 1]], axis=1
+            ).astype(np.float32)
+            if cls_dets.shape[0]:
+                cls_dets = cls_dets[nms(cls_dets, cfg.TEST.NMS,
+                                        offset=cfg.BOX_OFFSET)]
+            all_boxes[c][i] = cls_dets
+        # Global per-image cap (reference max_per_image logic).
+        if max_per_image > 0:
+            all_scores = np.concatenate(
+                [all_boxes[c][i][:, 4] for c in range(1, num_classes)]
+            )
+            if all_scores.shape[0] > max_per_image:
+                thresh = np.sort(all_scores)[-max_per_image]
+                for c in range(1, num_classes):
+                    keep = all_boxes[c][i][:, 4] >= thresh
+                    all_boxes[c][i] = all_boxes[c][i][keep]
+    if cache_file:
+        os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
+        with open(cache_file, "wb") as f:
+            pickle.dump(all_boxes, f)
+    return all_boxes

@@ -1,0 +1,151 @@
+"""End-to-end training loops (the reference's ``train_net`` entry points).
+
+Reference equivalents (SURVEY.md §3.3): ``lib/detect/train.py::train_net``
+and ``lib/fast_rcnn/train.py::train_net`` — SolverWrapper + roidb + a
+``solver.step(1)`` loop with periodic snapshots. Differences by design:
+the minibatch builder runs on host threads while the compiled train step
+runs on the TPU (the reference's optional prefetch process, made default),
+and snapshots are orbax checkpoints with the bbox-normalization baking
+applied to a deployment copy.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Optional
+
+import numpy as np
+
+import jax
+
+from aznet_tpu.config import Config, get_output_dir
+from aznet_tpu.data.imdb import get_imdb
+from aznet_tpu.data.minibatch import get_az_minibatch, get_frcnn_minibatch, fixed_canvas
+from aznet_tpu.models import AZNet, FRCNN
+from aznet_tpu.train.train_az import make_az_train_state, make_az_train_step
+from aznet_tpu.train.train_frcnn import make_frcnn_train_state, make_frcnn_train_step
+from aznet_tpu.utils.checkpoint import Checkpointer, bake_bbox_normalization
+from aznet_tpu.utils.logging import MetricLogger
+
+
+class _Prefetcher:
+    """Host-side minibatch prefetch thread (reference BlobFetcher role)."""
+
+    def __init__(self, make_batch, depth: int = 4):
+        self._q: queue.Queue = queue.Queue(maxsize=depth)
+        self._stop = threading.Event()
+
+        def worker():
+            while not self._stop.is_set():
+                try:
+                    self._q.put(make_batch(), timeout=0.5)
+                except queue.Full:
+                    continue
+
+        self._thread = threading.Thread(target=worker, daemon=True)
+        self._thread.start()
+
+    def next(self):
+        return self._q.get()
+
+    def close(self):
+        self._stop.set()
+        try:
+            while True:
+                self._q.get_nowait()
+        except queue.Empty:
+            pass
+        self._thread.join(timeout=2)
+
+
+def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
+              output_dir: str, name: str, start_step: int = 0):
+    logger = MetricLogger(output_dir, name)
+    ckpt = Checkpointer(output_dir, prefix=cfg.TRAIN.SNAPSHOT_PREFIX)
+    rng = jax.random.PRNGKey(cfg.RNG_SEED)
+    jstep = jax.jit(step_fn, donate_argnums=0)
+    for it in range(start_step, max_iters):
+        batch = prefetcher.next()
+        state, metrics = jstep(state, batch, rng)
+        if (it + 1) % 20 == 0 or it + 1 == max_iters:
+            logger.log(it + 1, jax.device_get(metrics), prefix=f"{name} ")
+        if (it + 1) % cfg.TRAIN.SNAPSHOT_ITERS == 0 or it + 1 == max_iters:
+            ckpt.save(it + 1, {"params": jax.device_get(state.params),
+                               "opt_state": jax.device_get(state.opt_state),
+                               "step": it + 1})
+    prefetcher.close()
+    return state
+
+
+def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
+                 output_dir: Optional[str] = None, state=None, imdb=None):
+    """Train AZ-Net on an imdb. Returns (state, model, output_dir)."""
+    imdb = imdb or get_imdb(imdb_name)
+    if cfg.TRAIN.USE_FLIPPED:
+        imdb.append_flipped_images()
+    canvas = fixed_canvas(imdb, cfg)
+    model = AZNet(model_cfg=cfg.MODEL)
+    if state is None:
+        state = make_az_train_state(cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
+    output_dir = output_dir or get_output_dir(cfg, imdb.name, "aznet")
+    max_iters = max_iters or cfg.TRAIN.MAX_ITERS
+
+    rng = np.random.RandomState(cfg.RNG_SEED)
+    roidb = imdb.roidb
+
+    def make_batch():
+        idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
+        return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng, canvas)
+
+    state = _run_loop(state, make_az_train_step(model), _Prefetcher(make_batch),
+                      cfg, max_iters, output_dir, "az")
+    # Deployment copy with normalization baked into the regression head
+    # (the reference's snapshot-time unnormalization).
+    if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:
+        baked = bake_bbox_normalization(
+            jax.device_get(state.params),
+            cfg.TRAIN.BBOX_NORMALIZE_MEANS, cfg.TRAIN.BBOX_NORMALIZE_STDS,
+            head_name="adj_bbox",
+        )
+        Checkpointer(output_dir + "/deploy").save(max_iters, {"params": baked})
+    return state, model, output_dir
+
+
+def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
+                    max_iters: Optional[int] = None,
+                    output_dir: Optional[str] = None, state=None, imdb=None):
+    """Train Fast R-CNN on an imdb with proposals.
+
+    ``proposals_fn(entry_index) -> [N, 4+]`` boxes in original image coords
+    (typically AZ-Net proposals, the reference's chained experiment flow).
+    """
+    imdb = imdb or get_imdb(imdb_name)
+    if cfg.TRAIN.USE_FLIPPED:
+        imdb.append_flipped_images()
+    canvas = fixed_canvas(imdb, cfg)
+    model = FRCNN(model_cfg=cfg.MODEL)
+    if state is None:
+        state = make_frcnn_train_state(cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
+    output_dir = output_dir or get_output_dir(cfg, imdb.name, "frcnn")
+    max_iters = max_iters or cfg.TRAIN.MAX_ITERS
+
+    rng = np.random.RandomState(cfg.RNG_SEED)
+    roidb = imdb.roidb
+
+    def make_batch():
+        idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
+        entries = [roidb[i] for i in idx]
+        props = [proposals_fn(int(i)) for i in idx]
+        return get_frcnn_minibatch(imdb, entries, props, cfg, rng, canvas)
+
+    state = _run_loop(state, make_frcnn_train_step(model), _Prefetcher(make_batch),
+                      cfg, max_iters, output_dir, "frcnn")
+    if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:
+        baked = bake_bbox_normalization(
+            jax.device_get(state.params),
+            cfg.TRAIN.BBOX_NORMALIZE_MEANS, cfg.TRAIN.BBOX_NORMALIZE_STDS,
+            head_name="bbox_pred",
+        )
+        Checkpointer(output_dir + "/deploy").save(max_iters, {"params": baked})
+    return state, model, output_dir

@@ -65,13 +65,17 @@ def main():
     def run_batch(b):
         ims = jnp.asarray(rng.randint(0, 256, (b,) + raw_hw + (3,)).astype(np.uint8))
         out = jfn(net.params, ims)
-        jax.block_until_ready(out)
-        # timed
-        reps = 3 if preset != "smoke" else 2
+        float(jnp.sum(out[1]))  # warmup + compile; host round-trip
+        # Timed: chain a scalar dependency across reps and fetch it to host —
+        # block_until_ready alone does not reliably block on the remote
+        # (axon) backend, which made dispatch look like compute.
+        reps = 5 if preset != "smoke" else 2
         t0 = time.perf_counter()
+        acc = jnp.float32(0)
         for _ in range(reps):
             out = jfn(net.params, ims)
-        jax.block_until_ready(out)
+            acc = acc + jnp.sum(out[1])
+        _ = float(acc)  # device->host sync
         dt = (time.perf_counter() - t0) / reps
         return b / dt
 
