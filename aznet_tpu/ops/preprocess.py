@@ -47,30 +47,28 @@ def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0):
     valid_h = jnp.round(h * scale).astype(jnp.int32)
     valid_w = jnp.round(w * scale).astype(jnp.int32)
 
-    ys = (jnp.arange(out_h, dtype=jnp.float32) + 0.5) / scale - 0.5
-    xs = (jnp.arange(out_w, dtype=jnp.float32) + 0.5) / scale - 0.5
-    ys = jnp.clip(ys, 0.0, h - 1.0)
-    xs = jnp.clip(xs, 0.0, w - 1.0)
-    y0 = jnp.floor(ys).astype(jnp.int32)
-    x0 = jnp.floor(xs).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, h - 1)
-    x1 = jnp.minimum(x0 + 1, w - 1)
-    fy = (ys - y0.astype(jnp.float32))[:, None]  # [out_h, 1]
-    fx = (xs - x0.astype(jnp.float32))[None, :]  # [1, out_w]
+    # Separable bilinear interpolation as two dense matmuls (MXU path —
+    # gathers are the slow path on TPU). Weight rows: triangle kernel
+    # relu(1 - |src_pos - cell|); clipped positions keep row sums at 1.
+    ys = jnp.clip((jnp.arange(out_h, dtype=jnp.float32) + 0.5) / scale - 0.5,
+                  0.0, h - 1.0)
+    xs = jnp.clip((jnp.arange(out_w, dtype=jnp.float32) + 0.5) / scale - 0.5,
+                  0.0, w - 1.0)
+    wy = jnp.maximum(1.0 - jnp.abs(ys[:, None] - jnp.arange(h, dtype=jnp.float32)), 0.0)
+    wx = jnp.maximum(1.0 - jnp.abs(xs[:, None] - jnp.arange(w, dtype=jnp.float32)), 0.0)
+    # Fold the validity mask into the weights (rows beyond the scaled extent
+    # become all-zero -> output pad region is exactly pad_value).
+    wy = wy * (jnp.arange(out_h)[:, None] < valid_h)
+    wx = wx * (jnp.arange(out_w)[:, None] < valid_w)
 
     im = im.astype(jnp.float32)
-    # Separable gather: rows then columns (two gathers instead of four).
-    top = im[y0]  # [out_h, W, C]
-    bot = im[y1]
-    rows = top * (1.0 - fy[..., None]) + bot * fy[..., None]  # [out_h, W, C]
-    left = rows[:, x0]  # [out_h, out_w, C]
-    right = rows[:, x1]
-    out = left * (1.0 - fx[..., None]) + right * fx[..., None]
-
-    yy = jnp.arange(out_h)[:, None]
-    xx = jnp.arange(out_w)[None, :]
-    mask = (yy < valid_h) & (xx < valid_w)
-    out = jnp.where(mask[..., None], out, pad_value)
+    rows = jnp.einsum("oh,hwc->owc", wy, im, preferred_element_type=jnp.float32)
+    out = jnp.einsum("pw,owc->opc", wx, rows, preferred_element_type=jnp.float32)
+    if pad_value:
+        yy = jnp.arange(out_h)[:, None]
+        xx = jnp.arange(out_w)[None, :]
+        mask = (yy < valid_h) & (xx < valid_w)
+        out = jnp.where(mask[..., None], out, pad_value)
     return out, valid_h, valid_w
 
 

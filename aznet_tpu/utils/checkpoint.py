@@ -101,11 +101,25 @@ class Checkpointer:
         return self._mgr.latest_step()
 
     def restore(self, state_template: Any, step: Optional[int] = None) -> Tuple[Any, int]:
-        """Restore into the template's structure. Returns (state, step)."""
+        """Restore into the template's structure (which may be a sub-tree of
+        what was saved, e.g. params-only from a params+opt_state snapshot).
+        Returns (state, step)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        restored = self._mgr.restore(
-            step, args=self._ocp.args.StandardRestore(state_template)
-        )
+        try:
+            restored = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(state_template)
+            )
+        except ValueError:
+            # Template is a sub-tree of the saved structure: restore the full
+            # stored tree (nested dicts) and select the requested keys.
+            full = self._mgr.restore(step)
+
+            def select(tmpl, stored):
+                if isinstance(tmpl, dict):
+                    return {k: select(v, stored[k]) for k, v in tmpl.items()}
+                return stored
+
+            restored = select(state_template, full)
         return restored, step

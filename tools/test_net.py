@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Evaluate proposals (recall) or full detection (mAP) on an imdb.
+
+Reference equivalent: ``tools/test_net.py`` (SURVEY.md §2.5, §3.4/3.5).
+
+Examples:
+  python tools/test_net.py --mode recall --imdb synthetic_test --ckpt output/...
+  python tools/test_net.py --mode detect --imdb voc_2007_test \
+      --ckpt az_ckpt_dir --frcnn-ckpt frcnn_ckpt_dir
+"""
+
+import argparse
+import json
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Evaluate an aznet_tpu network")
+    p.add_argument("--mode", choices=("recall", "detect"), default="recall")
+    p.add_argument("--imdb", default="synthetic_test")
+    p.add_argument("--cfg", default=None)
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[])
+    p.add_argument("--ckpt", default=None, help="AZ checkpoint dir (orbax)")
+    p.add_argument("--frcnn-ckpt", default=None, help="FRCNN checkpoint dir")
+    p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--output", default="output/eval")
+    p.add_argument("--cpu", action="store_true")
+    return p.parse_args()
+
+
+def _load_net(builder, cfg, ckpt_dir):
+    net = builder(cfg)
+    if ckpt_dir:
+        from aznet_tpu.utils.checkpoint import Checkpointer
+
+        ck = Checkpointer(ckpt_dir)
+        restored, step = ck.restore({"params": net.params})
+        net.params = restored["params"]
+        print(f"restored step {step} from {ckpt_dir}")
+    return net
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from aznet_tpu.config import Config, cfg_from_file, cfg_from_list
+    from aznet_tpu.api import build_az_net, build_frcnn_net
+    from aznet_tpu.data.imdb import get_imdb
+
+    cfg = Config()
+    if args.cfg:
+        cfg = cfg_from_file(cfg, args.cfg)
+    if args.set_cfgs:
+        cfg = cfg_from_list(cfg, args.set_cfgs)
+
+    imdb = get_imdb(args.imdb)
+    az_net = _load_net(build_az_net, cfg, args.ckpt)
+
+    if args.mode == "recall":
+        from aznet_tpu.eval.detection import evaluate_recall
+
+        table = evaluate_recall(az_net, imdb, max_images=args.max_images)
+        print(json.dumps({str(k): {str(t): round(v, 4) for t, v in row.items()}
+                          for k, row in table.items()}, indent=2))
+    else:
+        from aznet_tpu.eval.detection import detect_all
+
+        frcnn_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
+        all_boxes = detect_all(az_net, frcnn_net, imdb,
+                               max_images=args.max_images,
+                               cache_file=os.path.join(args.output, "detections.pkl"))
+        n = args.max_images or imdb.num_images
+        sub = [cls_dets[:n] for cls_dets in all_boxes]
+        roidb = imdb.roidb[:n]
+        from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
+
+        aps = eval_detections_on_roidb(sub, roidb, imdb.num_classes)
+        print(json.dumps({k: round(v, 4) for k, v in aps.items()}, indent=2))
+
+
+if __name__ == "__main__":
+    main()

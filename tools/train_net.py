@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Train AZ-Net or Fast R-CNN on an imdb.
+
+Reference equivalent: ``tools/train_net.py`` (SURVEY.md §2.5) — argparse
+over solver/imdb/weights/iters. Here the "solver" is the frozen config tree
+(YAML + KEY VALUE overrides).
+
+Examples:
+  python tools/train_net.py --net az --imdb synthetic_train --iters 500
+  python tools/train_net.py --net frcnn --imdb voc_2007_trainval \
+      --cfg experiments/cfgs/frcnn_vgg16.yml --proposals output/props.pkl
+"""
+
+import argparse
+import pickle
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="Train an aznet_tpu network")
+    p.add_argument("--net", choices=("az", "frcnn"), default="az")
+    p.add_argument("--imdb", default="synthetic_train")
+    p.add_argument("--cfg", default=None, help="YAML config override file")
+    p.add_argument("--set", dest="set_cfgs", nargs="*", default=[],
+                   help="KEY VALUE config override pairs")
+    p.add_argument("--iters", type=int, default=None)
+    p.add_argument("--output", default=None, help="output/checkpoint dir")
+    p.add_argument("--proposals", default=None,
+                   help="frcnn: pickle of per-image proposal arrays")
+    p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    from aznet_tpu.config import Config, cfg_from_file, cfg_from_list, cfg_to_dict
+
+    cfg = Config()
+    if args.cfg:
+        cfg = cfg_from_file(cfg, args.cfg)
+    if args.set_cfgs:
+        cfg = cfg_from_list(cfg, args.set_cfgs)
+
+    import jax
+
+    print(f"devices: {jax.devices()}")
+    print(f"imdb: {args.imdb}  net: {args.net}")
+
+    from aznet_tpu.train.loop import train_az_net, train_frcnn_net
+
+    if args.net == "az":
+        state, model, outdir = train_az_net(
+            cfg, args.imdb, max_iters=args.iters, output_dir=args.output
+        )
+    else:
+        if args.proposals:
+            with open(args.proposals, "rb") as f:
+                props = pickle.load(f)
+            proposals_fn = lambda i: props[i % len(props)]
+        else:
+            # Fall back to jittered-gt proposals (bootstrap mode).
+            import numpy as np
+
+            from aznet_tpu.data.imdb import get_imdb
+            from aznet_tpu.train.labels import perturb_gt_regions
+
+            imdb = get_imdb(args.imdb)
+            rng = np.random.RandomState(cfg.RNG_SEED)
+
+            def proposals_fn(i):
+                e = imdb.roidb[i % len(imdb.roidb)]
+                return perturb_gt_regions(
+                    e["boxes"], (e["height"], e["width"]), 16, rng
+                )
+
+        state, model, outdir = train_frcnn_net(
+            cfg, args.imdb, proposals_fn, max_iters=args.iters,
+            output_dir=args.output
+        )
+    print(f"done; checkpoints in {outdir}")
+
+
+if __name__ == "__main__":
+    main()
