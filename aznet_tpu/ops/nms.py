@@ -44,9 +44,14 @@ def nms(dets: np.ndarray, thresh: float, offset: float = 1.0) -> list:
 
     Returns the list of kept indices, highest score first — the same
     signature and semantics as the reference's ``nms(dets, thresh)``.
+    Uses the C++ library (csrc/) when built, NumPy otherwise.
     """
     if dets.size == 0:
         return []
+    from aznet_tpu.utils import native
+
+    if native.available():
+        return native.nms(np.asarray(dets), thresh, offset)
     x1, y1, x2, y2 = dets[:, 0], dets[:, 1], dets[:, 2], dets[:, 3]
     scores = dets[:, 4]
     areas = (x2 - x1 + offset) * (y2 - y1 + offset)

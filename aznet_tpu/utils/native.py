@@ -1,0 +1,101 @@
+"""ctypes bindings for the C++ host library (csrc/libaznet_host.so).
+
+Reference equivalent: the compiled Cython modules (cython_bbox, cython nms)
+the reference's Python imports (SURVEY.md §2.3). Loading is lazy and
+optional — every function has a NumPy fallback at its call site, so the
+framework works before ``make -C csrc`` has run.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB: Optional[ctypes.CDLL] = None
+_TRIED = False
+
+
+def _lib() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _TRIED:
+        return _LIB
+    _TRIED = True
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        "csrc", "build", "libaznet_host.so",
+    )
+    if not os.path.exists(path):
+        return None
+    lib = ctypes.CDLL(path)
+    lib.az_nms.restype = ctypes.c_int
+    lib.az_nms.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_float,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_int),
+    ]
+    lib.az_bbox_overlaps.restype = None
+    lib.az_bbox_overlaps.argtypes = [
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.az_prep_blob.restype = None
+    lib.az_prep_blob.argtypes = [
+        ctypes.POINTER(ctypes.c_ubyte), ctypes.c_int, ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float),
+    ]
+    _LIB = lib
+    return _LIB
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def _fptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+
+
+def nms(dets: np.ndarray, thresh: float, offset: float = 1.0) -> list:
+    """C++ greedy NMS; same contract as ops.nms.nms. Raises if lib missing."""
+    lib = _lib()
+    assert lib is not None, "libaznet_host.so not built (make -C csrc)"
+    dets = np.ascontiguousarray(dets, np.float32)
+    n = dets.shape[0]
+    if n == 0:
+        return []
+    keep = np.empty(n, np.int32)
+    count = lib.az_nms(_fptr(dets), n, float(thresh), float(offset),
+                       keep.ctypes.data_as(ctypes.POINTER(ctypes.c_int)))
+    return keep[:count].tolist()
+
+
+def bbox_overlaps(boxes: np.ndarray, query: np.ndarray,
+                  offset: float = 1.0) -> np.ndarray:
+    lib = _lib()
+    assert lib is not None, "libaznet_host.so not built (make -C csrc)"
+    boxes = np.ascontiguousarray(boxes, np.float32)
+    query = np.ascontiguousarray(query, np.float32)
+    out = np.empty((boxes.shape[0], query.shape[0]), np.float32)
+    lib.az_bbox_overlaps(_fptr(boxes), boxes.shape[0], _fptr(query),
+                         query.shape[0], float(offset), _fptr(out))
+    return out
+
+
+def prep_blob(im: np.ndarray, out_h: int, out_w: int, scale: float,
+              means) -> np.ndarray:
+    """Fused uint8-BGR -> mean-subtracted resized float32 canvas."""
+    lib = _lib()
+    assert lib is not None, "libaznet_host.so not built (make -C csrc)"
+    im = np.ascontiguousarray(im, np.uint8)
+    out = np.empty((out_h, out_w, 3), np.float32)
+    m = np.ascontiguousarray(means, np.float32)
+    lib.az_prep_blob(
+        im.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte)),
+        im.shape[0], im.shape[1], _fptr(out), out_h, out_w, float(scale),
+        _fptr(m),
+    )
+    return out

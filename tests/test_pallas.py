@@ -1,0 +1,66 @@
+"""Pallas kernels vs host/pure-JAX oracles (interpreter mode on CPU)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from aznet_tpu.ops.nms import nms
+from aznet_tpu.ops.pallas import nms_pallas
+
+
+def _random_dets(rng, n, span=200.0):
+    xy = rng.uniform(0, span, (n, 2))
+    wh = rng.uniform(5, span / 2, (n, 2))
+    scores = rng.permutation(n).astype(np.float32) / n
+    return np.concatenate([xy, xy + wh, scores[:, None]], axis=1).astype(np.float32)
+
+
+def test_nms_pallas_matches_oracle():
+    rng = np.random.RandomState(3)
+    for n in (60, 128, 300):
+        dets = _random_dets(rng, n)
+        for t in (0.3, 0.5, 0.7):
+            want = np.zeros(n, bool)
+            want[nms(dets, t)] = True
+            got = np.asarray(
+                nms_pallas(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]),
+                           t, interpret=True)
+            )
+            np.testing.assert_array_equal(got, want, err_msg=f"n={n} t={t}")
+
+
+def test_nms_pallas_cross_tile_chain():
+    # Chain spanning tile boundaries: A suppresses B (tile 0), B would have
+    # suppressed C (tile 1) — C must survive.
+    n = 130
+    dets = np.zeros((n, 5), np.float32)
+    rng = np.random.RandomState(7)
+    # Fill with well-separated boxes.
+    for i in range(n):
+        dets[i] = [300 + 40 * i, 300, 320 + 40 * i, 320, 0.5 - i * 1e-3]
+    dets[0] = [0, 0, 10, 10, 0.99]
+    dets[1] = [5, 0, 15, 10, 0.98]
+    dets[129] = [10, 0, 20, 10, 0.0]  # sorts last -> tile 2
+    want = np.zeros(n, bool)
+    want[nms(dets, 0.3)] = True
+    got = np.asarray(
+        nms_pallas(jnp.asarray(dets[:, :4]), jnp.asarray(dets[:, 4]), 0.3,
+                   interpret=True)
+    )
+    np.testing.assert_array_equal(got, want)
+    assert want[129]  # the chain survivor
+
+
+def test_nms_pallas_with_padding_mask():
+    rng = np.random.RandomState(11)
+    dets = _random_dets(rng, 100)
+    valid = np.ones(140, bool)
+    valid[100:] = False
+    padded = np.zeros((140, 5), np.float32)
+    padded[:100] = dets
+    got = np.asarray(
+        nms_pallas(jnp.asarray(padded[:, :4]), jnp.asarray(padded[:, 4]),
+                   0.5, valid=jnp.asarray(valid), interpret=True)
+    )
+    want = np.zeros(140, bool)
+    want[nms(dets, 0.5)] = True
+    np.testing.assert_array_equal(got, want)
