@@ -125,6 +125,22 @@ def im_propose(net: Net, im: np.ndarray) -> np.ndarray:
     return out
 
 
+def share_trunk(dst_net: Net, src_net: Net) -> Net:
+    """Copy the trunk parameters of ``src_net`` into ``dst_net`` in place.
+
+    The paper's shared-trunk evaluation (SURVEY.md §2.1 "Shared-trunk /
+    combined eval"): AZ-Net and Fast R-CNN share conv features; both modules
+    name the backbone submodule 'trunk', so sharing is parameter surgery.
+    Requires identical backbones. Returns ``dst_net``.
+    """
+    src = src_net.params["params"]["trunk"]
+    dst = dict(dst_net.params)
+    dst["params"] = {**dst_net.params["params"], "trunk": src}
+    dst_net.params = dst
+    dst_net._jit_cache.clear()
+    return dst_net
+
+
 # ---------------------------------------------------------------------------
 # im_detect
 # ---------------------------------------------------------------------------
@@ -149,23 +165,71 @@ def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw):
     return scores, pred
 
 
+def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
+    """Multi-scale image-pyramid im_detect (reference cfg.TEST.SCALES path,
+    SURVEY.md §5.7): run the trunk per scale; each roi reads the scale whose
+    scaled area is closest to 224^2 (the fast-rcnn heuristic)."""
+    off = cfg.BOX_OFFSET
+    w = boxes[:, 2] - boxes[:, 0] + off
+    h = boxes[:, 3] - boxes[:, 1] + off
+    side = jnp.sqrt(w * h)  # [R]
+
+    outs, scale_errs = [], []
+    for s_idx, target in enumerate(cfg.TEST.SCALES):
+        blob, im_scale, _ = preprocess_image(
+            image, cfg.PIXEL_MEANS, target, cfg.TEST.MAX_SIZE,
+            canvases[s_idx][0], canvases[s_idx][1],
+        )
+        feat = model.apply(params, blob[None], method="features")[0]
+        out_s = model.apply(params, feat, boxes * im_scale, method="roi_forward")
+        outs.append(out_s)
+        scale_errs.append(jnp.abs(side * im_scale - 224.0))
+    errs = jnp.stack(scale_errs, axis=0)  # [S, R]
+    assign = jnp.argmin(errs, axis=0)  # [R]
+
+    def pick(field):
+        stacked = jnp.stack([o[field] for o in outs], axis=0)  # [S, R, ...]
+        sel = assign.reshape((1, -1) + (1,) * (stacked.ndim - 2))
+        return jnp.take_along_axis(stacked, sel, axis=0)[0]
+
+    scores = jax.nn.softmax(pick("cls_score"), axis=-1)
+    pred = bbox_transform_inv(boxes, pick("bbox_pred"), off)
+    h0 = jnp.asarray(image.shape[0], jnp.float32)
+    w0 = jnp.asarray(image.shape[1], jnp.float32)
+    return scores, clip_boxes(pred, (h0, w0), off)
+
+
 def im_detect(net: Net, im: np.ndarray, boxes: np.ndarray):
     """Detection head forward: ``(scores (R, C), pred_boxes (R, 4C))``.
 
     Boxes are padded to a multiple of 128 on device (static shapes); only
-    the first R rows are returned.
+    the first R rows are returned. With multiple cfg.TEST.SCALES this runs
+    the reference's image-pyramid path.
     """
     cfg = net.cfg
     r = boxes.shape[0]
     r_pad = max(128, int(-(-r // 128) * 128))
-    canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
-    key = ("detect", canvas, r_pad)
-    if key not in net._jit_cache:
-        net._jit_cache[key] = jax.jit(
-            partial(_detect_core, net.model, canvas_hw=canvas, cfg=cfg)
-        )
     padded = np.zeros((r_pad, 4), np.float32)
     padded[:r] = boxes[:, :4]
+    if len(cfg.TEST.SCALES) > 1:
+        canvases = tuple(
+            _canvas_for(im.shape[0], im.shape[1],
+                        dataclasses.replace(
+                            cfg, TEST=dataclasses.replace(cfg.TEST, SCALES=(t,))))
+            for t in cfg.TEST.SCALES
+        )
+        key = ("detect_pyr", canvases, r_pad)
+        if key not in net._jit_cache:
+            net._jit_cache[key] = jax.jit(
+                partial(_detect_core_pyramid, net.model, canvases=canvases, cfg=cfg)
+            )
+    else:
+        canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
+        key = ("detect", canvas, r_pad)
+        if key not in net._jit_cache:
+            net._jit_cache[key] = jax.jit(
+                partial(_detect_core, net.model, canvas_hw=canvas, cfg=cfg)
+            )
     scores, pred = net._jit_cache[key](
         net.params, image=jnp.asarray(im), boxes=jnp.asarray(padded)
     )

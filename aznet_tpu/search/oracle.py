@@ -114,11 +114,6 @@ def az_search_oracle(
 
         cand_boxes = np.concatenate([cand_boxes, boxes.reshape(-1, 4)])
         cand_scores = np.concatenate([cand_scores, adj_p.reshape(-1)])
-        if b_cap is not None and cand_scores.shape[0] > b_cap:
-            keep = np.argsort(-cand_scores, kind="stable")[:b_cap]
-            # Keep buffer in score-sorted order, exactly like the device
-            # top_k merge.
-            cand_boxes, cand_scores = cand_boxes[keep], cand_scores[keep]
 
         # Divide qualifying regions.
         children = _apply_normalized_np(frontier, _DIV_TABLE, offset)  # [R,5,4]
@@ -134,6 +129,11 @@ def az_search_oracle(
             order = order[:r_cap]
         order = order[np.isfinite(flat_priority[order])]
         frontier = flat_children[order]
+
+    # Single end-of-search cap (mirrors the device's one top-K before NMS).
+    if b_cap is not None and cand_scores.shape[0] > b_cap:
+        keep = np.argsort(-cand_scores, kind="stable")[:b_cap]
+        cand_boxes, cand_scores = cand_boxes[keep], cand_scores[keep]
 
     # Threshold, NMS, top-N.
     m = cand_scores >= scfg.CONF_THRESH

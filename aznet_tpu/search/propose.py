@@ -100,14 +100,17 @@ def az_search(
       reference's ``boxes / im_scale`` tail in im_propose).
     """
     r_cap = scfg.FRONTIER_CAP
-    b_cap = scfg.CAND_BUF
     templates = adjacency_templates(num_templates)
     im_h = jnp.asarray(im_hw[0], jnp.float32)
     im_w = jnp.asarray(im_hw[1], jnp.float32)
+    # One static slot per (level, region, template): no per-level eviction
+    # at all — cheaper than a top-K merge each level AND exactly lossless.
+    per_level = r_cap * num_templates
+    total = scfg.MAX_LEVELS * per_level
 
     f_boxes, f_valid = init_frontier(im_h, im_w, scfg, offset)
-    c_boxes = jnp.zeros((b_cap, 4), jnp.float32)
-    c_scores = jnp.full((b_cap,), NEG_INF, jnp.float32)
+    c_boxes = jnp.zeros((total, 4), jnp.float32)
+    c_scores = jnp.full((total,), NEG_INF, jnp.float32)
     level = jnp.asarray(0, jnp.int32)
 
     def cond(state):
@@ -127,11 +130,11 @@ def az_search(
         boxes = clip_boxes(boxes, (im_h, im_w), offset)
         scores = jnp.where(f_valid[:, None], adj_p, NEG_INF)
 
-        # Merge into the candidate buffer (top-B eviction by score).
-        all_scores = jnp.concatenate([c_scores, scores.reshape(-1)])
-        all_boxes = jnp.concatenate([c_boxes, boxes.reshape(-1, 4)])
-        c_scores, idx = jax.lax.top_k(all_scores, b_cap)
-        c_boxes = all_boxes[idx]
+        # Write this level's candidates into its static slot.
+        c_boxes = jax.lax.dynamic_update_slice(
+            c_boxes, boxes.reshape(-1, 4), (level * per_level, 0))
+        c_scores = jax.lax.dynamic_update_slice(
+            c_scores, scores.reshape(-1), (level * per_level,))
 
         # Zoom: divide qualifying regions, keep top-R children by parent zoom.
         children = divide_regions(f_boxes, scfg.DIV_OVERLAP, offset)  # [R, 5, 4]
@@ -148,6 +151,12 @@ def az_search(
 
     state = (level, f_boxes, f_valid, c_boxes, c_scores)
     _, _, _, c_boxes, c_scores = jax.lax.while_loop(cond, body, state)
+
+    # Cap the NMS input to CAND_BUF by score (single top-K at the END — the
+    # only lossy step, and only when MAX_LEVELS*R*K exceeds CAND_BUF).
+    if total > scfg.CAND_BUF:
+        c_scores, idx = jax.lax.top_k(c_scores, scfg.CAND_BUF)
+        c_boxes = c_boxes[idx]
 
     # Confidence threshold, NMS, top-N — the reference's im_propose tail.
     final_scores = jnp.where(c_scores >= scfg.CONF_THRESH, c_scores, NEG_INF)

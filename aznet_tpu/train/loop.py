@@ -60,9 +60,22 @@ class _Prefetcher:
 
 
 def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
-              output_dir: str, name: str, start_step: int = 0):
+              output_dir: str, name: str, resume: bool = True):
     logger = MetricLogger(output_dir, name)
     ckpt = Checkpointer(output_dir, prefix=cfg.TRAIN.SNAPSHOT_PREFIX)
+    start_step = 0
+    if resume and ckpt.latest_step() is not None:
+        # Auto-resume from the latest snapshot (reference: restart-by-hand
+        # from .solverstate — SURVEY.md §5.3/5.4; we make it automatic).
+        restored, start_step = ckpt.restore(
+            {"params": jax.device_get(state.params),
+             "opt_state": jax.device_get(state.opt_state),
+             "step": 0}
+        )
+        state = state.replace(params=restored["params"],
+                              opt_state=restored["opt_state"],
+                              step=restored["step"])
+        print(f"[{name}] resumed from step {start_step}")
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     jstep = jax.jit(step_fn, donate_argnums=0)
     for it in range(start_step, max_iters):

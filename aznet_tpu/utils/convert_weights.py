@@ -1,0 +1,96 @@
+"""Caffe -> Flax weight conversion.
+
+Reference weights live in ``.caffemodel`` protobufs (VGG-16 ImageNet trunk +
+trained AZ/FRCNN heads — SURVEY.md §5.4). This module converts a dict of
+NumPy arrays extracted from such a snapshot (``{layer: (W, b)}``, the layout
+``caffe.Net.params`` exposes) into our Flax parameter trees. No network or
+caffe installation is assumed here — extraction to .npz happens wherever
+pycaffe exists; conversion is pure NumPy:
+
+- Conv: Caffe (out, in, kh, kw) -> Flax (kh, kw, in, out). Note the BGR
+  question does NOT arise: Caffe nets are already BGR-input and we keep BGR
+  preprocessing, so conv1_1 converts unchanged.
+- Dense fc6: Caffe flattens ROI-pooled features channel-first (C, P, P); our
+  pooled tensors flatten (P, P, C) — rows are permuted accordingly.
+- Other Dense layers: simple transpose (out, in) -> (in, out).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+def convert_conv(w: np.ndarray, b: np.ndarray):
+    return {"kernel": np.transpose(w, (2, 3, 1, 0)).astype(np.float32),
+            "bias": b.astype(np.float32)}
+
+
+def convert_dense(w: np.ndarray, b: np.ndarray):
+    return {"kernel": w.T.astype(np.float32), "bias": b.astype(np.float32)}
+
+
+def convert_fc6(w: np.ndarray, b: np.ndarray, pool: int, channels: int):
+    """fc6 row permutation: Caffe input index c*P*P + ph*P + pw ->
+    ours ph*P*C + pw*C + c."""
+    out_dim = w.shape[0]
+    w = w.reshape(out_dim, channels, pool, pool)  # (out, c, ph, pw)
+    w = np.transpose(w, (2, 3, 1, 0))  # (ph, pw, c, out)
+    return {"kernel": w.reshape(pool * pool * channels, out_dim).astype(np.float32),
+            "bias": b.astype(np.float32)}
+
+
+VGG16_CONV_NAMES = (
+    "conv1_1", "conv1_2", "conv2_1", "conv2_2", "conv3_1", "conv3_2",
+    "conv3_3", "conv4_1", "conv4_2", "conv4_3", "conv5_1", "conv5_2",
+    "conv5_3",
+)
+
+
+def convert_vgg16_trunk(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]]):
+    """``{name: (W, b)}`` -> flax trunk param dict for VGG16Trunk."""
+    out = {}
+    for name in VGG16_CONV_NAMES:
+        if name not in caffe_params:
+            raise KeyError(f"missing conv layer {name!r} in caffe params")
+        out[name] = convert_conv(*caffe_params[name])
+    return out
+
+
+def convert_az_head(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                    pool: int = 7, channels: int = 512,
+                    name_map: Dict[str, str] | None = None):
+    """Convert fc6/fc7 + AZ head layers.
+
+    ``name_map`` maps our head names {'zoom_score','adj_score','adj_bbox'}
+    to the prototxt layer names (unverifiable from the empty reference
+    mount — pass the real names once known).
+    """
+    name_map = name_map or {"zoom_score": "zoom_score", "adj_score": "adj_score",
+                            "adj_bbox": "adj_bbox"}
+    out = {"fc": {
+        "fc6": convert_fc6(*caffe_params["fc6"], pool=pool, channels=channels),
+        "fc7": convert_dense(*caffe_params["fc7"]),
+    }}
+    for ours, theirs in name_map.items():
+        out[ours] = convert_dense(*caffe_params[theirs])
+    return out
+
+
+def convert_frcnn_head(caffe_params, pool: int = 7, channels: int = 512):
+    return {
+        "fc": {
+            "fc6": convert_fc6(*caffe_params["fc6"], pool=pool, channels=channels),
+            "fc7": convert_dense(*caffe_params["fc7"]),
+        },
+        "cls_score": convert_dense(*caffe_params["cls_score"]),
+        "bbox_pred": convert_dense(*caffe_params["bbox_pred"]),
+    }
+
+
+def load_npz(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
+    """Load ``{name_W, name_b}`` arrays saved by an extraction script."""
+    data = np.load(path)
+    names = sorted({k[:-2] for k in data.files if k.endswith("_W")})
+    return {n: (data[f"{n}_W"], data[f"{n}_b"]) for n in names}

@@ -63,28 +63,41 @@ def main():
     rng = np.random.RandomState(0)
 
     def run_batch(b):
-        ims = jnp.asarray(rng.randint(0, 256, (b,) + raw_hw + (3,)).astype(np.uint8))
-        out = jfn(net.params, ims)
-        float(jnp.sum(out[1]))  # warmup + compile; host round-trip
-        # Timed: chain a scalar dependency across reps and fetch it to host —
+        # Stream S batches through one jitted lax.scan (a single dispatch):
+        # per-call relay latency to the remote TPU otherwise dominates, and
+        # a scan over batches is the realistic serving shape anyway.
+        s_steps = 4 if preset != "smoke" else 2
+
+        def pipeline(params, images):
+            def step(carry, ims):
+                _, scores, _ = fn(params, ims)
+                return carry + jnp.sum(scores), None
+
+            acc, _ = jax.lax.scan(step, jnp.float32(0), images)
+            return acc
+
+        ims = jnp.asarray(
+            rng.randint(0, 256, (s_steps, b) + raw_hw + (3,)).astype(np.uint8))
+        jpipe = jax.jit(pipeline)
+        float(jpipe(net.params, ims))  # warmup/compile + host round-trip
+        # Chain a scalar dependency across reps and fetch it to host —
         # block_until_ready alone does not reliably block on the remote
         # (axon) backend, which made dispatch look like compute.
-        reps = 5 if preset != "smoke" else 2
+        reps = 3 if preset != "smoke" else 2
         t0 = time.perf_counter()
         acc = jnp.float32(0)
         for _ in range(reps):
-            out = jfn(net.params, ims)
-            acc = acc + jnp.sum(out[1])
+            acc = acc + jpipe(net.params, ims)
         _ = float(acc)  # device->host sync
         dt = (time.perf_counter() - t0) / reps
-        return b / dt
+        return s_steps * b / dt
 
     if os.environ.get("AZNET_BENCH_BATCH"):
         batches = [int(os.environ["AZNET_BENCH_BATCH"])]
     elif preset == "smoke":
         batches = [2]
     else:
-        batches = [4, 8, 16]
+        batches = [16, 32]
 
     best = 0.0
     for b in batches:

@@ -68,3 +68,36 @@ def test_propose_batch_matches_single():
     n0 = int(np.asarray(valid[0]).sum())
     assert n0 == d0.shape[0]
     np.testing.assert_allclose(np.asarray(scores[0])[:n0], d0[:, 4], atol=1e-5)
+
+
+def test_share_trunk():
+    from aznet_tpu.api import share_trunk
+    import jax
+
+    az = build_az_net(CFG)
+    frcnn = build_frcnn_net(CFG, rng=jax.random.PRNGKey(9))
+    a = np.asarray(az.params["params"]["trunk"]["conv1"]["kernel"])
+    b0 = np.asarray(frcnn.params["params"]["trunk"]["conv1"]["kernel"])
+    assert not np.allclose(a, b0)
+    share_trunk(frcnn, az)
+    b1 = np.asarray(frcnn.params["params"]["trunk"]["conv1"]["kernel"])
+    np.testing.assert_array_equal(a, b1)
+    # head untouched & still works
+    im = np.random.RandomState(0).randint(0, 256, (80, 120, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 60, 60]], np.float32)
+    scores, pred = im_detect(frcnn, im, boxes)
+    assert scores.shape == (1, 4)
+
+
+def test_im_detect_pyramid():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, TEST=dataclasses.replace(CFG.TEST, SCALES=(48, 64), MAX_SIZE=128))
+    net = build_frcnn_net(cfg)
+    im = np.random.RandomState(3).randint(0, 256, (80, 120, 3)).astype(np.uint8)
+    boxes = np.array([[10, 10, 60, 60], [0, 0, 119, 79], [5, 5, 20, 20]], np.float32)
+    scores, pred = im_detect(net, im, boxes)
+    assert scores.shape == (3, 4)
+    np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-4)
+    assert pred.min() >= 0 and pred[:, 0::2].max() <= 119
