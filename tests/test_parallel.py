@@ -84,3 +84,31 @@ def test_sharded_step_matches_single_device():
     par_flat = jax.tree_util.tree_leaves(jax.device_get(s_par.params))
     for a, b in zip(ref_flat, par_flat):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
+
+
+def test_sharded_propose_matches_single_device():
+    from aznet_tpu.api import build_az_net, make_propose_batch
+    from aznet_tpu.parallel.inference import make_sharded_propose
+    from aznet_tpu.config import cfg_from_dict
+
+    cfg = cfg_from_dict(
+        Config(),
+        {
+            "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                      "COMPUTE_DTYPE": "float32"},
+            "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 128, "MAX_LEVELS": 2,
+                     "NUM_PROPOSALS": 10},
+            "TEST": {"SCALES": [64], "MAX_SIZE": 128},
+        },
+    )
+    net = build_az_net(cfg)
+    mesh = make_mesh(8, model_parallel=1)
+    canvas = (64, 128)
+    sharded = make_sharded_propose(net.model, cfg, canvas, mesh)
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.randint(0, 256, (8, 96, 128, 3)).astype(np.uint8))
+    with mesh:
+        boxes, scores, valid = sharded(net.params, ims)
+    single = jax.jit(make_propose_batch(net.model, cfg, canvas))(net.params, ims)
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(single[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(single[0]), atol=1e-3)
