@@ -99,3 +99,28 @@ def test_resnet50_stride16_and_channels():
 def test_backbone_factory_rejects_unknown():
     with pytest.raises(ValueError):
         get_backbone(ModelConfig(BACKBONE="alexnet"))
+
+
+def test_resnet50_aznet_propose_path():
+    # BASELINE config 5 structure: ResNet-50 backbone swap through the full
+    # propose path (small shapes, CPU).
+    import dataclasses
+
+    from aznet_tpu.config import SearchConfig
+    from aznet_tpu.search import az_search
+
+    cfg = ModelConfig(BACKBONE="resnet50", FC_DIM=32, NUM_TEMPLATES=5,
+                      COMPUTE_DTYPE="float32")
+    model = AZNet(model_cfg=cfg)
+    images = jnp.ones((1, 64, 64, 3))
+    rois = jnp.array([[0.0, 0.0, 31.0, 31.0]])
+    params = model.init(jax.random.PRNGKey(0), images, rois)
+    feat = model.apply(params, images, method="features")
+    assert feat.shape == (1, 4, 4, 1024)
+    scfg = SearchConfig(FRONTIER_CAP=8, CAND_BUF=64, MAX_LEVELS=2,
+                        NUM_PROPOSALS=5, MIN_SIZE=8.0)
+    boxes, scores, valid = az_search(
+        lambda f, r: model.apply(params, f, r, method="roi_forward"),
+        feat[0], (64, 64), scfg, num_templates=5)
+    assert boxes.shape == (5, 4)
+    assert np.isfinite(np.asarray(scores)[np.asarray(valid)]).all()
