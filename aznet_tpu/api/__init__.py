@@ -85,12 +85,34 @@ def _canvas_for(h: int, w: int, cfg: Config, bucket: int = 64):
 # ---------------------------------------------------------------------------
 
 
+def _blob_dtype(cfg: Config):
+    return jnp.bfloat16 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+
+
+def _cast_inference_params(params, cfg: Config):
+    """Pre-cast float32 params to the compute dtype ONCE per call.
+
+    Flax casts weights inside each layer application; inside the search's
+    while_loop that means re-casting the ~100M fc parameters EVERY level
+    (XLA does not hoist it) — measured 1.8 ms/img of pure cast traffic.
+    Head outputs stay float32 via the heads' explicit dtype.
+    """
+    if cfg.MODEL.COMPUTE_DTYPE != "bfloat16":
+        return params
+    return jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+        params,
+    )
+
+
 def _propose_core(model, params, cfg: Config, image, canvas_hw):
     """image: raw [H, W, 3] BGR (device array) -> (boxes, scores, valid) in
     ORIGINAL image coordinates."""
+    params = _cast_inference_params(params, cfg)
     blob, im_scale, (vh, vw) = preprocess_image(
         image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
-        canvas_hw[0], canvas_hw[1],
+        canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
     )
     feat = model.apply(params, blob[None], method="features")[0]
 
@@ -148,9 +170,10 @@ def share_trunk(dst_net: Net, src_net: Net) -> Net:
 
 def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw):
     """Raw image + proposal boxes (original coords) -> (scores, pred_boxes)."""
+    params = _cast_inference_params(params, cfg)
     blob, im_scale, (vh, vw) = preprocess_image(
         image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
-        canvas_hw[0], canvas_hw[1],
+        canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
     )
     feat = model.apply(params, blob[None], method="features")[0]
     # Project rois to the scaled image (reference _project_im_rois).
@@ -169,6 +192,7 @@ def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
     """Multi-scale image-pyramid im_detect (reference cfg.TEST.SCALES path,
     SURVEY.md §5.7): run the trunk per scale; each roi reads the scale whose
     scaled area is closest to 224^2 (the fast-rcnn heuristic)."""
+    params = _cast_inference_params(params, cfg)
     off = cfg.BOX_OFFSET
     w = boxes[:, 2] - boxes[:, 0] + off
     h = boxes[:, 3] - boxes[:, 1] + off
@@ -178,7 +202,7 @@ def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
     for s_idx, target in enumerate(cfg.TEST.SCALES):
         blob, im_scale, _ = preprocess_image(
             image, cfg.PIXEL_MEANS, target, cfg.TEST.MAX_SIZE,
-            canvases[s_idx][0], canvases[s_idx][1],
+            canvases[s_idx][0], canvases[s_idx][1], dtype=_blob_dtype(cfg),
         )
         feat = model.apply(params, blob[None], method="features")[0]
         out_s = model.apply(params, feat, boxes * im_scale, method="roi_forward")

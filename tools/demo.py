@@ -55,13 +55,19 @@ def main():
         classes = CLASSES
         print(f"synthetic image with {gt.shape[0]} planted boxes")
 
+    def _restore(net, ckpt_dir):
+        path = ckpt_dir
+        deploy = os.path.join(ckpt_dir, "deploy")
+        if os.path.isdir(deploy):  # baked bbox normalization (deploy copy)
+            path = deploy
+        net.params = Checkpointer(path).restore({"params": net.params})[0]["params"]
+
     az = build_az_net(cfg)
     if args.ckpt:
-        az.params = Checkpointer(args.ckpt).restore({"params": az.params})[0]["params"]
+        _restore(az, args.ckpt)
     frcnn = build_frcnn_net(cfg)
     if args.frcnn_ckpt:
-        frcnn.params = Checkpointer(args.frcnn_ckpt).restore(
-            {"params": frcnn.params})[0]["params"]
+        _restore(frcnn, args.frcnn_ckpt)
 
     t = Timer()
     t.tic()

@@ -42,9 +42,13 @@ def main():
         cfg = cfg_from_list(cfg, args.set_cfgs)
     net = build_az_net(cfg)
     if args.ckpt:
-        restored, step = Checkpointer(args.ckpt).restore({"params": net.params})
+        path = args.ckpt
+        deploy = os.path.join(args.ckpt, "deploy")
+        if os.path.isdir(deploy):  # baked bbox normalization (deploy copy)
+            path = deploy
+        restored, step = Checkpointer(path).restore({"params": net.params})
         net.params = restored["params"]
-        print(f"restored step {step}")
+        print(f"restored step {step} from {path}")
     imdb = get_imdb(args.imdb)
     props = propose_all(net, imdb, max_images=args.max_images, verbose=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)

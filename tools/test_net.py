@@ -31,15 +31,23 @@ def parse_args():
     return p.parse_args()
 
 
-def _load_net(builder, cfg, ckpt_dir):
+def _load_net(builder, cfg, ckpt_dir, prefer_deploy=True):
     net = builder(cfg)
     if ckpt_dir:
+        import os
+
         from aznet_tpu.utils.checkpoint import Checkpointer
 
-        ck = Checkpointer(ckpt_dir)
+        # Prefer the deployment copy (bbox normalization baked into the
+        # regression head — required for decoding raw head outputs).
+        path = ckpt_dir
+        deploy = os.path.join(ckpt_dir, "deploy")
+        if prefer_deploy and os.path.isdir(deploy):
+            path = deploy
+        ck = Checkpointer(path)
         restored, step = ck.restore({"params": net.params})
         net.params = restored["params"]
-        print(f"restored step {step} from {ckpt_dir}")
+        print(f"restored step {step} from {path}")
     return net
 
 
