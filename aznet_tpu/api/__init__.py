@@ -126,19 +126,54 @@ def _propose_core(model, params, cfg: Config, image, canvas_hw):
     return boxes / im_scale, scores, valid
 
 
+def _propose_core_pyramid(model, params, cfg: Config, image, canvases):
+    """Multi-scale zoom search (BASELINE config 5): run the full search per
+    TEST.SCALES entry and merge candidates with one cross-scale NMS."""
+    from aznet_tpu.ops.nms import nms_topk
+
+    all_boxes, all_scores, all_valid = [], [], []
+    for s_idx, target in enumerate(cfg.TEST.SCALES):
+        sub = dataclasses.replace(
+            cfg, TEST=dataclasses.replace(cfg.TEST, SCALES=(target,)))
+        b, s, v = _propose_core(model, params, sub, image, canvases[s_idx])
+        all_boxes.append(b)
+        all_scores.append(s)
+        all_valid.append(v)
+    boxes = jnp.concatenate(all_boxes)
+    scores = jnp.concatenate(all_scores)
+    valid = jnp.concatenate(all_valid)
+    return nms_topk(boxes, jnp.where(valid, scores, -jnp.inf),
+                    cfg.SEAR.NMS_THRESH, cfg.SEAR.NUM_PROPOSALS,
+                    valid=valid, offset=cfg.BOX_OFFSET)
+
+
 def im_propose(net: Net, im: np.ndarray) -> np.ndarray:
     """Scored proposals for one raw BGR image -> float32 (N, 5).
 
     Reference-mirroring host entry point; the device work is one compiled
-    program per canvas bucket.
+    program per canvas bucket. Multiple cfg.TEST.SCALES run the multi-scale
+    zoom search with a cross-scale NMS merge.
     """
     cfg = net.cfg
-    canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
-    key = ("propose", canvas)
-    if key not in net._jit_cache:
-        net._jit_cache[key] = jax.jit(
-            partial(_propose_core, net.model, canvas_hw=canvas, cfg=cfg)
+    if len(cfg.TEST.SCALES) > 1:
+        canvases = tuple(
+            _canvas_for(im.shape[0], im.shape[1],
+                        dataclasses.replace(
+                            cfg, TEST=dataclasses.replace(cfg.TEST, SCALES=(t,))))
+            for t in cfg.TEST.SCALES
         )
+        key = ("propose_pyr", canvases)
+        if key not in net._jit_cache:
+            net._jit_cache[key] = jax.jit(
+                partial(_propose_core_pyramid, net.model, canvases=canvases, cfg=cfg)
+            )
+    else:
+        canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
+        key = ("propose", canvas)
+        if key not in net._jit_cache:
+            net._jit_cache[key] = jax.jit(
+                partial(_propose_core, net.model, canvas_hw=canvas, cfg=cfg)
+            )
     boxes, scores, valid = net._jit_cache[key](net.params, image=jnp.asarray(im))
     n = int(np.asarray(valid).sum())
     out = np.concatenate(

@@ -134,8 +134,14 @@ def nms_topk(boxes, scores, iou_threshold, k, valid=None, offset: float = 1.0):
     keep = nms_mask(boxes, scores, iou_threshold, valid=valid, offset=offset)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     kept_scores = jnp.where(keep, scores, neg_inf)
-    top_scores, top_idx = jax.lax.top_k(kept_scores, k)
+    k_eff = min(k, boxes.shape[0])  # fewer candidates than k: pad outputs
+    top_scores, top_idx = jax.lax.top_k(kept_scores, k_eff)
     out_valid = top_scores > neg_inf
     out_boxes = jnp.where(out_valid[:, None], boxes[top_idx], 0.0)
     out_scores = jnp.where(out_valid, top_scores, 0.0)
+    if k_eff < k:
+        pad = k - k_eff
+        out_boxes = jnp.pad(out_boxes, ((0, pad), (0, 0)))
+        out_scores = jnp.pad(out_scores, (0, pad))
+        out_valid = jnp.pad(out_valid, (0, pad))
     return out_boxes, out_scores, out_valid

@@ -101,3 +101,20 @@ def test_im_detect_pyramid():
     assert scores.shape == (3, 4)
     np.testing.assert_allclose(scores.sum(axis=1), 1.0, atol=1e-4)
     assert pred.min() >= 0 and pred[:, 0::2].max() <= 119
+
+
+def test_im_propose_multiscale():
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        CFG, TEST=dataclasses.replace(CFG.TEST, SCALES=(48, 64), MAX_SIZE=128))
+    net = build_az_net(cfg)
+    im = np.random.RandomState(1).randint(0, 256, (100, 150, 3)).astype(np.uint8)
+    dets = im_propose(net, im)
+    assert dets.shape[1] == 5 and dets.shape[0] <= cfg.SEAR.NUM_PROPOSALS
+    assert (np.diff(dets[:, 4]) <= 1e-6).all()
+    assert (dets[:, 2] <= 150).all() and (dets[:, 3] <= 100).all()
+    # Multi-scale result contains at least as many survivors as either
+    # single-scale run capped at NUM_PROPOSALS (more candidates in).
+    single = im_propose(build_az_net(CFG), im)
+    assert dets.shape[0] >= min(single.shape[0], cfg.SEAR.NUM_PROPOSALS) - 2

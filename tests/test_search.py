@@ -146,3 +146,43 @@ def test_search_vmap_batch():
     for i in range(2):
         b1, s1, v1 = jax.jit(one)(feats[i])
         np.testing.assert_allclose(np.asarray(scores[i]), np.asarray(s1), atol=1e-5)
+
+
+def test_deep_tree_finds_small_objects():
+    # COCO-regime property (BASELINE config 4): a small object is reachable
+    # only with enough zoom levels. An idealized head (zoom fires on regions
+    # containing the gt, adjacency = the raw template anchors) makes this
+    # deterministic: anchors can reach IoU>=0.5 with a 20px gt only once
+    # regions are small enough, which requires depth.
+    # 32px gt aligned to the division grid of a 512px image: the TL-quadrant
+    # anchor of the level-reachable 64px region hits it exactly, and that
+    # region only enters the frontier after 2 zoom rounds.
+    gt = jnp.asarray([128.0, 128.0, 159.0, 159.0])
+    K = 11
+
+    def ideal_head(feat, rois):
+        from aznet_tpu.ops.iou import intersection_over_area
+
+        contains = intersection_over_area(gt[None], rois)[0]  # [R]
+        size = jnp.minimum(rois[:, 2] - rois[:, 0], rois[:, 3] - rois[:, 1]) + 1
+        needs_zoom = (contains > 0.9) & (size > 2 * 32.0)
+        zoom = jnp.where(needs_zoom, 10.0, -10.0)
+        adj = jnp.full((rois.shape[0], K), 2.0)  # all anchors, conf ~0.88
+        deltas = jnp.zeros((rois.shape[0], K, 4))
+        return {"zoom": zoom, "adj_score": adj, "adj_delta": deltas}
+
+    feat = jnp.zeros((32, 32, 8))
+
+    def run(levels):
+        scfg = SearchConfig(FRONTIER_CAP=64, CAND_BUF=8192, MAX_LEVELS=levels,
+                            NUM_PROPOSALS=2000, ZOOM_THRESH=0.5, MIN_SIZE=8.0,
+                            CONF_THRESH=0.05, NMS_THRESH=0.95, SEED_LEVELS=1)
+        boxes, scores, valid = az_search(ideal_head, feat, (512, 512), scfg,
+                                         num_templates=K)
+        from aznet_tpu.ops.iou import bbox_overlaps
+
+        iou = bbox_overlaps(gt[None], boxes[valid])
+        return float(iou.max()) if int(valid.sum()) else 0.0
+
+    assert run(2) < 0.5, "shallow tree should NOT localize the small object"
+    assert run(4) >= 0.5, "deep tree must localize the small object"
