@@ -35,15 +35,47 @@ def fixed_canvas(imdb, cfg: Config):
 
 
 def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
-    """Scale + mean-subtract each image; returns (blob, scales, scaled gts)."""
-    ims, scales, gts = [], [], []
+    """Scale + mean-subtract each image; returns (blob, scales, scaled gts).
+
+    Uses the C++ fused prep (csrc: multithreaded resize+mean-subtract+pad
+    straight into the canvas) when built and a fixed canvas is given; NumPy
+    otherwise.
+    """
+    from aznet_tpu.ops.preprocess import compute_scale
+    from aznet_tpu.utils import native
+
+    scales, gts, raws = [], [], []
     for entry in entries:
         im = imdb.image_array(entry)
         target = cfg.TRAIN.SCALES[rng.randint(len(cfg.TRAIN.SCALES))]
-        im, scale = prep_im_for_blob(im, cfg.PIXEL_MEANS, target, cfg.TRAIN.MAX_SIZE)
-        ims.append(im)
+        scale = compute_scale(im.shape[0], im.shape[1], target, cfg.TRAIN.MAX_SIZE)
+        raws.append(im)
         scales.append(scale)
         gts.append(entry["boxes"] * scale)
+
+    if canvas is not None and native.available() and all(
+        r.dtype == np.uint8 for r in raws
+    ):
+        blob = np.stack([
+            native.prep_blob(r, canvas[0], canvas[1], s, cfg.PIXEL_MEANS)
+            for r, s in zip(raws, scales)
+        ])
+        return blob, scales, gts
+
+    from aznet_tpu.ops.preprocess import _resize_bilinear_np
+
+    ims = []
+    for r, s in zip(raws, scales):
+        out_h = int(round(r.shape[0] * s))
+        out_w = int(round(r.shape[1] * s))
+        im = r.astype(np.float32) - np.asarray(cfg.PIXEL_MEANS, np.float32)
+        try:  # pragma: no cover - cv2 optional
+            import cv2
+
+            im = cv2.resize(im, (out_w, out_h), interpolation=cv2.INTER_LINEAR)
+        except ImportError:
+            im = _resize_bilinear_np(im, out_h, out_w)
+        ims.append(im)
     blob = im_list_to_blob(ims)
     # Round spatial dims up for TPU-friendly static shapes.
     mult = cfg.TEST.SIZE_MULTIPLE

@@ -79,7 +79,10 @@ def main():
         ims = jnp.asarray(
             rng.randint(0, 256, (s_steps, b) + raw_hw + (3,)).astype(np.uint8))
         jpipe = jax.jit(pipeline)
-        float(jpipe(net.params, ims))  # warmup/compile + host round-trip
+        # Warmup: compile + TWO settled rounds (the remote relay's first
+        # measured round after a compile is ~10x inflated).
+        for _ in range(2):
+            float(jpipe(net.params, ims))
         # Chain a scalar dependency across reps and fetch it to host —
         # block_until_ready alone does not reliably block on the remote
         # (axon) backend, which made dispatch look like compute.

@@ -1,0 +1,59 @@
+"""CLI tool smoke tests via subprocess (guards the argparse surfaces)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SMALL_SET = [
+    "--set", "MODEL.BACKBONE", "smallnet", "MODEL.FC_DIM", "32",
+    "MODEL.NUM_TEMPLATES", "5", "MODEL.NUM_CLASSES", "4",
+    "MODEL.COMPUTE_DTYPE", "float32",
+    "SEAR.FRONTIER_CAP", "16", "SEAR.CAND_BUF", "128",
+    "SEAR.MAX_LEVELS", "2", "SEAR.NUM_PROPOSALS", "20",
+    "TEST.SCALES", "(64,)", "TEST.MAX_SIZE", "96",
+    "TRAIN.SCALES", "(64,)", "TRAIN.MAX_SIZE", "96",
+    "TRAIN.REGIONS_PER_IMAGE", "16", "TRAIN.USE_FLIPPED", "False",
+    "TRAIN.SNAPSHOT_ITERS", "10",
+]
+
+
+def _run(args, timeout=240):
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    return subprocess.run(
+        [sys.executable] + args, cwd=REPO, env=env, timeout=timeout,
+        capture_output=True, text=True,
+    )
+
+
+def test_help_screens():
+    for tool in ("train_net", "test_net", "propose_net", "demo", "time_net"):
+        r = _run([f"tools/{tool}.py", "--help"], timeout=60)
+        assert r.returncode == 0, r.stderr[-500:]
+        assert "usage" in r.stdout.lower()
+
+
+def test_train_then_recall_chain(tmp_path):
+    out = str(tmp_path / "az")
+    r = _run(["tools/train_net.py", "--cpu", "--net", "az",
+              "--imdb", "synthetic_val", "--iters", "10", "--output", out]
+             + SMALL_SET)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "done; checkpoints in" in r.stdout
+
+    r2 = _run(["tools/test_net.py", "--cpu", "--mode", "recall",
+               "--imdb", "synthetic_val", "--ckpt", out, "--max-images", "2"]
+              + SMALL_SET)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    table = json.loads(r2.stdout[r2.stdout.index("{"):])
+    assert "300" in table and "AR" in table["300"]
+
+
+def test_demo_runs(tmp_path):
+    r = _run(["tools/demo.py", "--cpu", "--out", str(tmp_path / "demo.png")]
+             + SMALL_SET)
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "im_propose:" in r.stdout and "im_detect:" in r.stdout
