@@ -60,7 +60,7 @@ class _Prefetcher:
 
 
 def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
-              output_dir: str, name: str, resume: bool = True):
+              output_dir: str, name: str, resume: bool = True, mesh=None):
     logger = MetricLogger(output_dir, name)
     ckpt = Checkpointer(output_dir, prefix=cfg.TRAIN.SNAPSHOT_PREFIX)
     start_step = 0
@@ -78,8 +78,23 @@ def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
         print(f"[{name}] resumed from step {start_step}")
     rng = jax.random.PRNGKey(cfg.RNG_SEED)
     jstep = jax.jit(step_fn, donate_argnums=0)
+    batch_put = lambda b: b
+    if mesh is not None:
+        # Data-parallel (+TP on fc kernels) over the mesh: shard params once,
+        # shard each batch's leading dim; XLA all-reduces gradients over ICI.
+        from aznet_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
+
+        p_shard = param_sharding(mesh, state.params)
+        shardings = jax.tree_util.tree_map(
+            lambda _: replicate(mesh), state, is_leaf=lambda x: hasattr(x, "ndim")
+        ).replace(params=p_shard)
+        state = jax.device_put(state, shardings)
+
+        def batch_put(b):
+            return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
+                    for k, v in b.items()}
     for it in range(start_step, max_iters):
-        batch = prefetcher.next()
+        batch = batch_put(prefetcher.next())
         state, metrics = jstep(state, batch, rng)
         if (it + 1) % 20 == 0 or it + 1 == max_iters:
             logger.log(it + 1, jax.device_get(metrics), prefix=f"{name} ")
@@ -92,7 +107,8 @@ def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
 
 
 def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
-                 output_dir: Optional[str] = None, state=None, imdb=None):
+                 output_dir: Optional[str] = None, state=None, imdb=None,
+                 mesh=None):
     """Train AZ-Net on an imdb. Returns (state, model, output_dir)."""
     imdb = imdb or get_imdb(imdb_name)
     if cfg.TRAIN.USE_FLIPPED:
@@ -112,7 +128,7 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
         return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng, canvas)
 
     state = _run_loop(state, make_az_train_step(model), _Prefetcher(make_batch),
-                      cfg, max_iters, output_dir, "az")
+                      cfg, max_iters, output_dir, "az", mesh=mesh)
     # Deployment copy with normalization baked into the regression head
     # (the reference's snapshot-time unnormalization).
     if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:
@@ -127,7 +143,8 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
 
 def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
                     max_iters: Optional[int] = None,
-                    output_dir: Optional[str] = None, state=None, imdb=None):
+                    output_dir: Optional[str] = None, state=None, imdb=None,
+                    mesh=None):
     """Train Fast R-CNN on an imdb with proposals.
 
     ``proposals_fn(entry_index) -> [N, 4+]`` boxes in original image coords
@@ -153,7 +170,7 @@ def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
         return get_frcnn_minibatch(imdb, entries, props, cfg, rng, canvas)
 
     state = _run_loop(state, make_frcnn_train_step(model), _Prefetcher(make_batch),
-                      cfg, max_iters, output_dir, "frcnn")
+                      cfg, max_iters, output_dir, "frcnn", mesh=mesh)
     if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:
         baked = bake_bbox_normalization(
             jax.device_get(state.params),

@@ -112,3 +112,31 @@ def test_sharded_propose_matches_single_device():
     single = jax.jit(make_propose_batch(net.model, cfg, canvas))(net.params, ims)
     np.testing.assert_allclose(np.asarray(scores), np.asarray(single[1]), atol=1e-5)
     np.testing.assert_allclose(np.asarray(boxes), np.asarray(single[0]), atol=1e-3)
+
+
+def test_train_loop_with_mesh(tmp_path):
+    from aznet_tpu.config import cfg_from_dict
+    from aznet_tpu.data.synthetic import SyntheticImdb
+    from aznet_tpu.train.loop import train_az_net
+
+    cfg = cfg_from_dict(
+        Config(),
+        {
+            "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                      "NUM_CLASSES": 4, "COMPUTE_DTYPE": "float32"},
+            "TRAIN": {"SCALES": [64], "MAX_SIZE": 96, "REGIONS_PER_IMAGE": 16,
+                      "IMS_PER_BATCH": 8, "LEARNING_RATE": 0.003,
+                      "GRAD_CLIP": 10.0, "USE_FLIPPED": False,
+                      "SNAPSHOT_ITERS": 100},
+            "TEST": {"SCALES": [64], "MAX_SIZE": 96},
+        },
+    )
+    imdb = SyntheticImdb(split="val", seed=1, num_images=8, image_hw=(96, 128))
+    mesh = make_mesh(8, model_parallel=2)
+    state, model, outdir = train_az_net(
+        cfg, "synthetic_val", max_iters=4, output_dir=str(tmp_path),
+        imdb=imdb, mesh=mesh,
+    )
+    assert int(state.step) == 4
+    leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
+    assert all(np.isfinite(np.asarray(l)).all() for l in leaves)

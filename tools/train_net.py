@@ -32,6 +32,8 @@ def parse_args():
                    help="frcnn: pickle of per-image proposal arrays")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--mesh", default=None,
+                   help="data[xmodel] device mesh, e.g. '8' or '4x2'")
     return p.parse_args()
 
 
@@ -56,9 +58,20 @@ def main():
 
     from aznet_tpu.train.loop import train_az_net, train_frcnn_net
 
+    mesh = None
+    if args.mesh:
+        from aznet_tpu.parallel import make_mesh
+
+        parts = [int(v) for v in args.mesh.split("x")]
+        data = parts[0]
+        model_par = parts[1] if len(parts) > 1 else 1
+        mesh = make_mesh(data * model_par, model_parallel=model_par)
+        print(f"mesh: {dict(mesh.shape)}")
+
     if args.net == "az":
         state, model, outdir = train_az_net(
-            cfg, args.imdb, max_iters=args.iters, output_dir=args.output
+            cfg, args.imdb, max_iters=args.iters, output_dir=args.output,
+            mesh=mesh
         )
     else:
         if args.proposals:
@@ -83,7 +96,7 @@ def main():
 
         state, model, outdir = train_frcnn_net(
             cfg, args.imdb, proposals_fn, max_iters=args.iters,
-            output_dir=args.output
+            output_dir=args.output, mesh=mesh
         )
     print(f"done; checkpoints in {outdir}")
 
