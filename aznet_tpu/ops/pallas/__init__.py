@@ -8,3 +8,4 @@ them against the pure-JAX/host oracles.
 """
 
 from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
+from aznet_tpu.ops.pallas.iou_kernel import bbox_overlaps_pallas

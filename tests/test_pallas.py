@@ -64,3 +64,19 @@ def test_nms_pallas_with_padding_mask():
     want = np.zeros(140, bool)
     want[nms(dets, 0.5)] = True
     np.testing.assert_array_equal(got, want)
+
+
+def test_iou_pallas_matches_reference():
+    from aznet_tpu.ops.pallas import bbox_overlaps_pallas
+    from aznet_tpu.ops.iou import bbox_overlaps
+
+    rng = np.random.RandomState(5)
+    for n, k in ((50, 40), (128, 128), (200, 300)):
+        a = rng.uniform(0, 500, (n, 4)).astype(np.float32)
+        a[:, 2:] = a[:, :2] + rng.uniform(1, 200, (n, 2))
+        b = rng.uniform(0, 500, (k, 4)).astype(np.float32)
+        b[:, 2:] = b[:, :2] + rng.uniform(1, 200, (k, 2))
+        got = np.asarray(bbox_overlaps_pallas(jnp.asarray(a), jnp.asarray(b),
+                                              interpret=True))
+        want = np.asarray(bbox_overlaps(jnp.asarray(a), jnp.asarray(b)))
+        np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"{n}x{k}")
