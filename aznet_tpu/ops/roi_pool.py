@@ -28,8 +28,15 @@ import jax.numpy as jnp
 
 
 def _chunked_over_rois(fn, rois, chunk: int):
-    """Apply ``fn(rois_chunk)`` over roi chunks via lax.map (bounds memory)."""
+    """Apply ``fn(rois_chunk)`` over roi chunks via lax.map (bounds memory).
+
+    chunk is clamped to the roi count (padding 64 rois to a 256 chunk would
+    quadruple the pooling work), and the single-chunk case skips lax.map.
+    """
     r = rois.shape[0]
+    chunk = min(chunk, max(r, 1))
+    if r <= chunk:
+        return fn(rois)
     pad = (-r) % chunk
     padded = jnp.pad(rois, ((0, pad), (0, 0)))
     batches = padded.reshape(-1, chunk, rois.shape[1])
