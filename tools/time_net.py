@@ -52,20 +52,30 @@ def main():
     ch, cw = args.canvas
     blob_dtype = jnp.bfloat16 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else jnp.float32
 
+    stages = []
+
     def timed(name, jf, *xs):
-        # Two warm rounds: the remote relay's first post-compile round is
-        # heavily inflated (see DESIGN.md #5).
-        for _ in range(2):
-            out = jf(*xs)
-            float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for _ in range(args.reps):
-            acc = acc + jnp.sum(jax.tree_util.tree_leaves(jf(*xs))[0].astype(jnp.float32))
-        float(acc)
-        dt = (time.perf_counter() - t0) / args.reps
-        print(f"{name:12s}: {dt / b * 1000:7.2f} ms/img  ({b / dt:7.1f} img/s)")
+        out = jf(*xs)  # compile + first output (feeds the next stage)
+        stages.append((name, jf, xs))
         return out
+
+    def run_all():
+        # Warm EVERY stage before timing ANY (the relay's first measured
+        # rounds after a compile are heavily inflated — see DESIGN.md #5),
+        # then measure each with scalar-dependency chaining.
+        for _ in range(2):
+            for name, jf, xs in stages:
+                out = jf(*xs)
+                float(jnp.sum(jax.tree_util.tree_leaves(out)[0].astype(jnp.float32)))
+        for name, jf, xs in stages:
+            t0 = time.perf_counter()
+            acc = jnp.float32(0)
+            for _ in range(args.reps):
+                acc = acc + jnp.sum(
+                    jax.tree_util.tree_leaves(jf(*xs))[0].astype(jnp.float32))
+            float(acc)
+            dt = (time.perf_counter() - t0) / args.reps
+            print(f"{name:12s}: {dt / b * 1000:7.2f} ms/img  ({b / dt:7.1f} img/s)")
 
     prep = jax.jit(lambda x: jax.vmap(
         lambda im: preprocess_image(im, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0],
@@ -88,6 +98,8 @@ def main():
 
     e2e = jax.jit(make_propose_batch(net.model, cfg, (ch, cw)))
     timed("end-to-end", e2e, net.params, ims)
+
+    run_all()
 
 
 if __name__ == "__main__":
