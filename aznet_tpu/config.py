@@ -90,6 +90,12 @@ class TrainConfig:
     ZOOM_AREA_FRAC: float = 0.25
     # Adjacency template <-> gt assignment IoU threshold.
     ADJ_FG_THRESH: float = 0.5
+    # Positive-class weight in the adjacency confidence CE (1.0 = reference
+    # parity; > 1 counters the ~1:K positive/negative template imbalance
+    # which otherwise collapses confidences below SEAR.CONF_THRESH).
+    ADJ_POS_WEIGHT: float = 1.0
+    # Same for the zoom-indicator CE.
+    ZOOM_POS_WEIGHT: float = 1.0
     # Number of anchor regions sampled per image for AZ training.
     REGIONS_PER_IMAGE: int = 128
     # Optimizer (Caffe SGD solver equivalents: momentum, weight decay, step LR).

@@ -127,7 +127,9 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
         idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
         return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng, canvas)
 
-    state = _run_loop(state, make_az_train_step(model), _Prefetcher(make_batch),
+    step_fn = make_az_train_step(
+        model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT, cfg.TRAIN.ADJ_POS_WEIGHT))
+    state = _run_loop(state, step_fn, _Prefetcher(make_batch),
                       cfg, max_iters, output_dir, "az", mesh=mesh)
     # Deployment copy with normalization baked into the regression head
     # (the reference's snapshot-time unnormalization).

@@ -35,8 +35,12 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def az_loss(model, params, batch, dropout_rng=None):
-    """Composite AZ loss. Returns (loss, metrics)."""
+def az_loss(model, params, batch, dropout_rng=None, pos_weights=(1.0, 1.0)):
+    """Composite AZ loss. Returns (loss, metrics).
+
+    ``pos_weights``: (zoom, adjacency) positive-class CE weights
+    (cfg.TRAIN.ZOOM_POS_WEIGHT / ADJ_POS_WEIGHT; 1.0 = reference parity).
+    """
     train = dropout_rng is not None
     rngs = {"dropout": dropout_rng} if train else None
     feats = model.apply(params, batch["images"], method="features")
@@ -48,8 +52,10 @@ def az_loss(model, params, batch, dropout_rng=None):
     out = jax.vmap(head_one)(feats, batch["rois"])
     valid = batch["roi_valid"].astype(jnp.float32)  # [B, R]
 
-    zoom_loss = sigmoid_ce_loss(out["zoom"], batch["zoom_labels"], weights=valid)
-    adj_w = valid[..., None] * jnp.ones_like(out["adj_score"])
+    zw, aw = pos_weights
+    zoom_w = valid * (1.0 + (zw - 1.0) * batch["zoom_labels"])
+    zoom_loss = sigmoid_ce_loss(out["zoom"], batch["zoom_labels"], weights=zoom_w)
+    adj_w = valid[..., None] * (1.0 + (aw - 1.0) * batch["adj_labels"])
     adj_loss = sigmoid_ce_loss(out["adj_score"], batch["adj_labels"], weights=adj_w)
     n_rois = jnp.maximum(jnp.sum(valid), 1.0)
     bbox_loss = (
@@ -76,13 +82,14 @@ def make_az_train_state(cfg: Config, model, rng, image_hw=(64, 64)) -> TrainStat
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_az_train_step(model):
+def make_az_train_step(model, pos_weights=(1.0, 1.0)):
     """Pure ``(state, batch, rng) -> (state, metrics)``; jit/shard at will."""
 
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(
-            lambda p: az_loss(model, p, batch, dropout_rng), has_aux=True
+            lambda p: az_loss(model, p, batch, dropout_rng, pos_weights),
+            has_aux=True
         )
         (loss, metrics), grads = grad_fn(state.params)
         new_state = state.apply_gradients(grads=grads)

@@ -80,3 +80,17 @@ def test_iou_pallas_matches_reference():
                                               interpret=True))
         want = np.asarray(bbox_overlaps(jnp.asarray(a), jnp.asarray(b)))
         np.testing.assert_allclose(got, want, atol=1e-5, err_msg=f"{n}x{k}")
+
+
+def test_roi_align_pallas_matches_reference():
+    from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas
+    from aznet_tpu.ops.roi_pool import roi_align
+
+    rng = np.random.RandomState(7)
+    feat = jnp.asarray(rng.randn(14, 18, 8).astype(np.float32))
+    rois = rng.uniform(0, 200, (10, 4)).astype(np.float32)
+    rois[:, 2:] = rois[:, :2] + rng.uniform(16, 100, (10, 2))
+    got = np.asarray(roi_align_pallas(feat, jnp.asarray(rois), 1 / 16.0, 7,
+                                      tile_r=8, interpret=True))
+    want = np.asarray(roi_align(feat, jnp.asarray(rois), 1 / 16.0, 7))
+    np.testing.assert_allclose(got, want, atol=1e-4)
