@@ -109,6 +109,10 @@ class TrainConfig:
     SNAPSHOT_PREFIX: str = "aznet"
     # Gradient clip (TPU-new; 0 disables).
     GRAD_CLIP: float = 0.0
+    # Parameter-name prefixes whose gradients are zeroed (the reference sets
+    # lr_mult=0 on conv1/conv2 when fine-tuning from ImageNet weights). Off
+    # by default: from-scratch training must update everything.
+    FREEZE_PREFIXES: Tuple[str, ...] = ()
 
 
 @dataclass(frozen=True)

@@ -15,6 +15,7 @@ import numpy as np
 
 from aznet_tpu.config import Config
 from aznet_tpu.ops.preprocess import prep_im_for_blob, im_list_to_blob
+from aznet_tpu.utils.np_boxes import iou_np as _iou_np
 from aznet_tpu.search.templates import adjacency_templates
 from aznet_tpu.train.labels import az_labels_for_regions, sample_az_regions
 
@@ -51,7 +52,13 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
         scale = compute_scale(im.shape[0], im.shape[1], target, cfg.TRAIN.MAX_SIZE)
         raws.append(im)
         scales.append(scale)
-        gts.append(entry["boxes"] * scale)
+        boxes = entry["boxes"]
+        diff = entry.get("difficult")
+        if diff is not None and diff.any():
+            # Difficult gt stay in the roidb for eval but are excluded from
+            # training labels, per the VOC protocol / reference config.
+            boxes = boxes[~diff]
+        gts.append(boxes * scale)
 
     if canvas is not None and native.available() and all(
         r.dtype == np.uint8 for r in raws
@@ -121,18 +128,6 @@ def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -
     return batch
 
 
-def _iou_np(a, b, offset=1.0):
-    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
-          - np.maximum(a[:, None, 0], b[None, :, 0]) + offset)
-    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
-          - np.maximum(a[:, None, 1], b[None, :, 1]) + offset)
-    inter = np.maximum(iw, 0) * np.maximum(ih, 0)
-    area_a = (a[:, 2] - a[:, 0] + offset) * (a[:, 3] - a[:, 1] + offset)
-    area_b = (b[:, 2] - b[:, 0] + offset) * (b[:, 3] - b[:, 1] + offset)
-    union = area_a[:, None] + area_b[None] - inter
-    return np.where(union > 0, inter / union, 0.0)
-
-
 def _sample_rois(proposals, gt_boxes, gt_classes, cfg: Config, rng):
     """fg/bg ROI sampling (reference ``_sample_rois``).
 
@@ -171,9 +166,9 @@ def _sample_rois(proposals, gt_boxes, gt_classes, cfg: Config, rng):
     targets = np.zeros((rois.shape[0], 4 * nc), np.float32)
     inside = np.zeros((rois.shape[0], 4 * nc), np.float32)
     if gt_boxes.size and n_fg:
-        from aznet_tpu.train.labels import _bbox_transform_np
+        from aznet_tpu.utils.np_boxes import bbox_transform_np
 
-        t = _bbox_transform_np(rois[:n_fg], gt_boxes[gt_assign[keep[:n_fg]]],
+        t = bbox_transform_np(rois[:n_fg], gt_boxes[gt_assign[keep[:n_fg]]],
                                cfg.BOX_OFFSET)
         if tcfg.BBOX_NORMALIZE_TARGETS:
             means = np.asarray(tcfg.BBOX_NORMALIZE_MEANS, np.float32)

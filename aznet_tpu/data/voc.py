@@ -47,12 +47,22 @@ def voc_data_available(year: str = "2007") -> bool:
     return os.path.isdir(os.path.join(devkit_path(year), f"VOC{year}"))
 
 
-def parse_voc_xml(path: str, use_diff: bool = False):
-    """One annotation file -> (boxes [G, 4] 0-indexed, classes [G], difficult [G])."""
+def parse_voc_xml(path: str, use_diff: bool = True):
+    """One annotation file -> (boxes [G, 4] 0-indexed, classes [G], difficult [G]).
+
+    Difficult objects are KEPT (flagged) by default: the eval protocol needs
+    them present to IGNORE (not penalize) matching detections; training-time
+    sampling excludes them via the flag (data/minibatch.py).
+    """
     tree = ET.parse(path)
     objs = tree.findall("object")
+
+    def _is_difficult(o):
+        d = o.find("difficult")
+        return bool(int(d.text)) if d is not None and d.text else False
+
     if not use_diff:
-        objs = [o for o in objs if int((o.find("difficult").text or "0")) == 0]
+        objs = [o for o in objs if not _is_difficult(o)]
     boxes = np.zeros((len(objs), 4), np.float32)
     classes = np.zeros((len(objs),), np.int32)
     difficult = np.zeros((len(objs),), bool)
@@ -67,8 +77,7 @@ def parse_voc_xml(path: str, use_diff: bool = False):
             float(bb.find("ymax").text) - 1,
         ]
         classes[i] = cls_index[obj.find("name").text.strip().lower()]
-        d = obj.find("difficult")
-        difficult[i] = bool(int(d.text)) if d is not None else False
+        difficult[i] = _is_difficult(obj)
     size = tree.find("size")
     h = int(size.find("height").text)
     w = int(size.find("width").text)

@@ -13,18 +13,7 @@ from typing import Dict, Iterable, List, Sequence
 import numpy as np
 
 
-def _iou_np(a: np.ndarray, b: np.ndarray, offset: float = 1.0) -> np.ndarray:
-    if a.size == 0 or b.size == 0:
-        return np.zeros((a.shape[0], b.shape[0]), np.float32)
-    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
-          - np.maximum(a[:, None, 0], b[None, :, 0]) + offset)
-    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
-          - np.maximum(a[:, None, 1], b[None, :, 1]) + offset)
-    inter = np.maximum(iw, 0) * np.maximum(ih, 0)
-    area_a = (a[:, 2] - a[:, 0] + offset) * (a[:, 3] - a[:, 1] + offset)
-    area_b = (b[:, 2] - b[:, 0] + offset) * (b[:, 3] - b[:, 1] + offset)
-    union = area_a[:, None] + area_b[None] - inter
-    return np.where(union > 0, inter / union, 0.0).astype(np.float32)
+from aznet_tpu.utils.np_boxes import iou_np as _iou_np
 
 
 def proposal_recall(

@@ -33,9 +33,9 @@ class VGG16Trunk(nn.Module):
     # Channel-width multiplier: 1.0 = the reference VGG-16; smaller keeps
     # the structure (layer names, sharding rules) at reduced cost.
     width: float = 1.0
-    # Freeze conv1/conv2 as the reference training does (fast-rcnn lineage
-    # sets lr_mult=0 for the first two blocks). Enforced by the optimizer
-    # mask in train/, not here.
+    # The reference training freezes conv1/conv2 when fine-tuning from
+    # ImageNet (fast-rcnn lineage lr_mult=0). Opt in via
+    # cfg.TRAIN.FREEZE_PREFIXES=("conv1", "conv2") — see train/optim.py.
 
     feat_stride: int = 16
 

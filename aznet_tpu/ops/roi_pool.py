@@ -179,9 +179,15 @@ def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
 
 def roi_pool(feat, rois, spatial_scale: float, pool_size: int = 7,
              mode: str = "align", **kw):
-    """Dispatch on cfg.MODEL.POOLING_MODE."""
+    """Dispatch on cfg.MODEL.POOLING_MODE: 'align' (XLA separable matmuls,
+    the default/fastest), 'align_pallas' (fully fused VMEM kernel, exact
+    same numerics), 'caffe_max' (reference ROIPooling parity)."""
     if mode == "align":
         return roi_align(feat, rois, spatial_scale, pool_size, **kw)
+    if mode == "align_pallas":
+        from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas
+
+        return roi_align_pallas(feat, rois, spatial_scale, pool_size, **kw)
     if mode == "caffe_max":
         return roi_pool_caffe(feat, rois, spatial_scale, pool_size, **kw)
     raise ValueError(f"unknown pooling mode: {mode}")

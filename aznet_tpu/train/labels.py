@@ -24,39 +24,12 @@ from __future__ import annotations
 import numpy as np
 
 from aznet_tpu.config import TrainConfig
-
-
-def _area(b, offset=1.0):
-    return (b[..., 2] - b[..., 0] + offset) * (b[..., 3] - b[..., 1] + offset)
-
-
-def _inter(a, b, offset=1.0):
-    """Pairwise intersection areas [N, G]."""
-    iw = (np.minimum(a[:, None, 2], b[None, :, 2])
-          - np.maximum(a[:, None, 0], b[None, :, 0]) + offset)
-    ih = (np.minimum(a[:, None, 3], b[None, :, 3])
-          - np.maximum(a[:, None, 1], b[None, :, 1]) + offset)
-    return np.maximum(iw, 0) * np.maximum(ih, 0)
-
-
-def _iou(a, b, offset=1.0):
-    inter = _inter(a, b, offset)
-    union = _area(a, offset)[:, None] + _area(b, offset)[None] - inter
-    return np.where(union > 0, inter / union, 0.0)
-
-
-def _bbox_transform_np(ex, gt, offset=1.0):
-    ew = ex[:, 2] - ex[:, 0] + offset
-    eh = ex[:, 3] - ex[:, 1] + offset
-    ecx = ex[:, 0] + 0.5 * ew
-    ecy = ex[:, 1] + 0.5 * eh
-    gw = gt[:, 2] - gt[:, 0] + offset
-    gh = gt[:, 3] - gt[:, 1] + offset
-    gcx = gt[:, 0] + 0.5 * gw
-    gcy = gt[:, 1] + 0.5 * gh
-    return np.stack(
-        [(gcx - ecx) / ew, (gcy - ecy) / eh, np.log(gw / ew), np.log(gh / eh)], axis=1
-    ).astype(np.float32)
+from aznet_tpu.utils.np_boxes import (
+    area_np as _area,
+    intersection_np as _inter,
+    iou_np as _iou,
+    bbox_transform_np as _bbox_transform_np,
+)
 
 
 def division_tree_regions(im_hw, levels: int, min_size: float = 0.0,

@@ -37,9 +37,16 @@ class _Prefetcher:
         self._stop = threading.Event()
 
         def worker():
+            pending = None
             while not self._stop.is_set():
+                # Build each batch once and retry the put: rebuilding on a
+                # full queue would burn a host core and make the seeded
+                # batch sequence timing-dependent.
+                if pending is None:
+                    pending = make_batch()
                 try:
-                    self._q.put(make_batch(), timeout=0.5)
+                    self._q.put(pending, timeout=0.5)
+                    pending = None
                 except queue.Full:
                     continue
 
@@ -168,7 +175,16 @@ def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
     def make_batch():
         idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
         entries = [roidb[i] for i in idx]
-        props = [proposals_fn(int(i)) for i in idx]
+        props = []
+        for i, entry in zip(idx, entries):
+            p = np.asarray(proposals_fn(int(i)))[:, :4].copy()
+            if entry.get("flipped"):
+                # Cached proposals come from the unflipped image: mirror them
+                # (x1' = W - x2 - 1), as the reference's
+                # append_flipped_images does for its roidb boxes.
+                w = entry["width"]
+                p[:, [0, 2]] = w - p[:, [2, 0]] - 1.0
+            props.append(p)
         return get_frcnn_minibatch(imdb, entries, props, cfg, rng, canvas)
 
     state = _run_loop(state, make_frcnn_train_step(model), _Prefetcher(make_batch),

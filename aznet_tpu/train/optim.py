@@ -33,6 +33,20 @@ def _decay_mask(params):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def _freeze_mask(prefixes):
+    """True for params whose path contains a name starting with a prefix."""
+    import jax
+
+    def mask(params):
+        def rule(path, leaf):
+            names = [str(getattr(p, "key", getattr(p, "name", ""))) for p in path]
+            return any(n.startswith(pref) for n in names for pref in prefixes)
+
+        return jax.tree_util.tree_map_with_path(rule, params)
+
+    return mask
+
+
 def make_optimizer(tcfg: TrainConfig, params=None):
     tx = [
         optax.add_decayed_weights(
@@ -42,4 +56,9 @@ def make_optimizer(tcfg: TrainConfig, params=None):
     ]
     if tcfg.GRAD_CLIP:
         tx.insert(0, optax.clip_by_global_norm(tcfg.GRAD_CLIP))
+    if tcfg.FREEZE_PREFIXES:
+        # Zero frozen-layer gradients before everything else (the reference's
+        # lr_mult=0 on early conv blocks when fine-tuning).
+        tx.insert(0, optax.masked(optax.set_to_zero(),
+                                  _freeze_mask(tcfg.FREEZE_PREFIXES)))
     return optax.chain(*tx)

@@ -94,6 +94,12 @@ class Checkpointer:
         )
 
     def save(self, step: int, state: Any) -> None:
+        if step in (self._mgr.all_steps() or []):
+            # Idempotent re-save (e.g. rerunning a finished training job):
+            # orbax would raise StepAlreadyExistsError.
+            print(f"[checkpoint] step {step} already exists in "
+                  f"{self.directory}; skipping save")
+            return
         self._mgr.save(step, args=self._ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
 

@@ -58,7 +58,6 @@ def main():
     preset = os.environ.get("AZNET_BENCH_PRESET", "full")
     n_dev = len(jax.devices())
     net, fn, raw_hw = _build(preset)
-    jfn = jax.jit(fn)
 
     rng = np.random.RandomState(0)
 

@@ -53,8 +53,9 @@ def test_pascal_voc_roidb_and_eval(tmp_path, monkeypatch):
     # 0-indexed conversion: xml xmin 47 -> 46.
     assert roidb[0]["boxes"][0, 0] == 46.0
     assert roidb[0]["gt_classes"][0] == VOC_CLASSES.index("dog")
-    # difficult object excluded by default parse
-    assert roidb[1]["boxes"].shape[0] == 1
+    # difficult object kept with its flag (eval needs it present to ignore)
+    assert roidb[1]["boxes"].shape[0] == 2
+    assert list(roidb[1]["difficult"]) == [False, True]
     im = imdb.image_array(roidb[0])
     assert im.shape == (500, 400, 3)
 
