@@ -150,3 +150,47 @@ def sample_az_regions(gt: np.ndarray, im_hw, tcfg: TrainConfig, rng,
         pick_neg = np.concatenate(
             [neg_idx, rng.choice(regions.shape[0], n_neg - len(neg_idx))])
     return regions[np.concatenate([pick_pos, pick_neg]).astype(np.int64)]
+
+
+def compute_bbox_target_stats(imdb, cfg, proposals_by_entry=None,
+                              max_images: int = 200):
+    """Data-driven bbox-target normalization stats (means, stds).
+
+    Reference equivalent: ``lib/roi_data_layer/roidb.py::
+    add_bbox_regression_targets`` — when the config does not use the
+    precomputed constants, fast-rcnn computes per-coordinate target
+    mean/std over all fg examples in the roidb and normalizes with them
+    (then bakes them back at snapshot time). Here: sample fg (region, gt)
+    pairs the same way training does and return the empirical stats, to be
+    placed into TRAIN.BBOX_NORMALIZE_MEANS/STDS.
+    """
+    rng = np.random.RandomState(cfg.RNG_SEED)
+    from aznet_tpu.search.templates import adjacency_templates
+    from aznet_tpu.search.oracle import _apply_normalized_np
+
+    templates = np.asarray(adjacency_templates(cfg.MODEL.NUM_TEMPLATES))
+    all_targets = []
+    n = min(imdb.num_images, max_images)
+    for i in range(n):
+        entry = imdb.roidb[i]
+        gt = entry["boxes"]
+        diff = entry.get("difficult")
+        if diff is not None and diff.any():
+            gt = gt[~diff]
+        if gt.shape[0] == 0:
+            continue
+        regions = sample_az_regions(gt, (entry["height"], entry["width"]),
+                                    cfg.TRAIN, rng, offset=cfg.BOX_OFFSET)
+        anchors = _apply_normalized_np(regions, templates, cfg.BOX_OFFSET)
+        flat = anchors.reshape(-1, 4)
+        iou = _iou(flat, gt, cfg.BOX_OFFSET)
+        best = np.argmax(iou, axis=1)
+        pos = iou[np.arange(iou.shape[0]), best] >= cfg.TRAIN.ADJ_FG_THRESH
+        if pos.any():
+            all_targets.append(
+                _bbox_transform_np(flat[pos], gt[best[pos]], cfg.BOX_OFFSET))
+    if not all_targets:
+        return (np.zeros(4, np.float32),
+                np.asarray(cfg.TRAIN.BBOX_NORMALIZE_STDS, np.float32))
+    t = np.concatenate(all_targets)
+    return t.mean(axis=0).astype(np.float32), (t.std(axis=0) + 1e-8).astype(np.float32)

@@ -149,3 +149,15 @@ def test_frcnn_minibatch_sampling():
         cls = batch["labels"][b[0], i[0]]
         assert row.sum() == 4.0
         assert row[4 * cls : 4 * cls + 4].sum() == 4.0
+
+
+def test_compute_bbox_target_stats():
+    from aznet_tpu.train.labels import compute_bbox_target_stats
+
+    imdb = SyntheticImdb(num_images=8)
+    means, stds = compute_bbox_target_stats(imdb, CFG, max_images=8)
+    assert means.shape == (4,) and stds.shape == (4,)
+    assert (stds > 0).all()
+    # Targets of matched (IoU>=0.5) anchors are small: |mean| < 0.5, std < 1.
+    assert np.abs(means).max() < 0.5
+    assert stds.max() < 1.0
