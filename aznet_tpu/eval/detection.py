@@ -37,13 +37,72 @@ def propose_all(net: Net, imdb, max_images: Optional[int] = None,
     return out
 
 
+def propose_all_batched(net: Net, imdb, batch_size: int = 16,
+                        max_images: Optional[int] = None,
+                        verbose: bool = False) -> List[np.ndarray]:
+    """Batched im_propose over an imdb (BASELINE config 2's workload).
+
+    Images are bucketed by canvas shape (one compiled program per bucket),
+    padded to full batches, and run through the jit-native batched pipeline —
+    the throughput path the host-looped reference cannot express.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.api import make_propose_batch, _canvas_for
+
+    cfg = net.cfg
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    # Bucket image indices by (canvas, raw shape) — raw shape must match
+    # within a batch for stacking.
+    buckets: dict = {}
+    for i in range(n):
+        e = imdb.roidb[i]
+        key = (_canvas_for(e["height"], e["width"], cfg), e["height"], e["width"])
+        buckets.setdefault(key, []).append(i)
+
+    out: List[Optional[np.ndarray]] = [None] * n
+    timer = Timer()
+    for (canvas, h, w), idxs in buckets.items():
+        key = ("propose_batched", canvas, h, w, batch_size)
+        if key not in net._jit_cache:
+            net._jit_cache[key] = jax.jit(
+                make_propose_batch(net.model, cfg, canvas))
+        fn = net._jit_cache[key]
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            ims = np.stack([imdb.image_array(imdb.roidb[i]) for i in chunk])
+            if ims.shape[0] < batch_size:  # pad the tail batch
+                pad = batch_size - ims.shape[0]
+                ims = np.concatenate([ims, np.repeat(ims[-1:], pad, 0)])
+            timer.tic()
+            boxes, scores, valid = fn(net.params, jnp.asarray(ims))
+            boxes, scores, valid = (np.asarray(boxes), np.asarray(scores),
+                                    np.asarray(valid))
+            t = timer.toc(average=False)
+            for j, i in enumerate(chunk):
+                m = valid[j]
+                out[i] = np.concatenate(
+                    [boxes[j][m], scores[j][m][:, None]], axis=1
+                ).astype(np.float32)
+            if verbose:
+                print(f"propose_batched {start + len(chunk)}/{len(idxs)} "
+                      f"(canvas {canvas}) {t / batch_size * 1000:.1f} ms/img")
+    return out  # type: ignore[return-value]
+
+
 def evaluate_recall(net: Net, imdb, top_ks=(100, 300, 1000),
-                    max_images: Optional[int] = None):
+                    max_images: Optional[int] = None, batched: bool = False,
+                    batch_size: int = 16):
     """Proposal recall table over an imdb (BASELINE config 2)."""
     from aznet_tpu.eval.recall import recall_table
 
     n = min(imdb.num_images, max_images or imdb.num_images)
-    proposals = propose_all(net, imdb, max_images=n)
+    if batched:
+        proposals = propose_all_batched(net, imdb, batch_size=batch_size,
+                                        max_images=n)
+    else:
+        proposals = propose_all(net, imdb, max_images=n)
     gts = [imdb.roidb[i]["boxes"] for i in range(n)]
     return recall_table(gts, proposals, top_ks=top_ks)
 

@@ -118,3 +118,17 @@ def test_im_propose_multiscale():
     # single-scale run capped at NUM_PROPOSALS (more candidates in).
     single = im_propose(build_az_net(CFG), im)
     assert dets.shape[0] >= min(single.shape[0], cfg.SEAR.NUM_PROPOSALS) - 2
+
+
+def test_propose_all_batched_matches_per_image():
+    from aznet_tpu.data.synthetic import SyntheticImdb
+    from aznet_tpu.eval.detection import propose_all, propose_all_batched
+
+    net = build_az_net(CFG)
+    imdb = SyntheticImdb(split="val", seed=3, num_images=5, image_hw=(96, 128))
+    single = propose_all(net, imdb)
+    batched = propose_all_batched(net, imdb, batch_size=4)  # pads tail batch
+    assert len(batched) == 5
+    for s, b in zip(single, batched):
+        assert s.shape == b.shape
+        np.testing.assert_allclose(s, b, atol=1e-4)

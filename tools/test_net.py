@@ -26,6 +26,8 @@ def parse_args():
     p.add_argument("--ckpt", default=None, help="AZ checkpoint dir (orbax)")
     p.add_argument("--frcnn-ckpt", default=None, help="FRCNN checkpoint dir")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--batched", action="store_true",
+                   help="recall mode: batched on-device propose (faster)")
     p.add_argument("--output", default="output/eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -73,7 +75,8 @@ def main():
     if args.mode == "recall":
         from aznet_tpu.eval.detection import evaluate_recall
 
-        table = evaluate_recall(az_net, imdb, max_images=args.max_images)
+        table = evaluate_recall(az_net, imdb, max_images=args.max_images,
+                                batched=args.batched)
         print(json.dumps({str(k): {str(t): round(v, 4) for t, v in row.items()}
                           for k, row in table.items()}, indent=2))
     else:
