@@ -19,7 +19,7 @@ import numpy as np
 
 from aznet_tpu.config import SearchConfig
 from aznet_tpu.ops.nms import nms as greedy_nms
-from aznet_tpu.search.templates import adjacency_templates, NUM_DIVISIONS
+from aznet_tpu.search.templates import adjacency_templates, division_table, NUM_DIVISIONS
 
 
 def _sigmoid(x):
@@ -88,11 +88,12 @@ def az_search_oracle(
     b_cap = scfg.CAND_BUF if capped else None
 
     # Seed frontier: whole image + SEED_LEVELS divisions.
+    div_table = division_table(scfg.DIV_OVERLAP)
     whole = np.array([[0.0, 0.0, im_w - offset, im_h - offset]], np.float32)
     frontier = [whole]
     current = whole
     for _ in range(scfg.SEED_LEVELS):
-        current = _apply_normalized_np(current, _DIV_TABLE, offset).reshape(-1, 4)
+        current = _apply_normalized_np(current, div_table, offset).reshape(-1, 4)
         frontier.append(current)
     frontier = np.concatenate(frontier, axis=0)
 
@@ -116,7 +117,7 @@ def az_search_oracle(
         cand_scores = np.concatenate([cand_scores, adj_p.reshape(-1)])
 
         # Divide qualifying regions.
-        children = _apply_normalized_np(frontier, _DIV_TABLE, offset)  # [R,5,4]
+        children = _apply_normalized_np(frontier, div_table, offset)  # [R,5,4]
         cw = children[..., 2] - children[..., 0] + offset
         chh = children[..., 3] - children[..., 1] + offset
         parent_ok = zoom_p > scfg.ZOOM_THRESH

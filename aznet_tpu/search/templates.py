@@ -90,15 +90,19 @@ def template_boxes(regions, templates=None, offset: float = 1.0):
     return _apply_normalized(regions, jnp.asarray(templates), offset)
 
 
-def divide_regions(regions, div_overlap: float = 0.0, offset: float = 1.0):
-    """Zoom subdivision: [..., 4] -> [..., 5, 4] children.
-
-    ``div_overlap`` expands each child about its center by that relative
-    factor (0.0 = exact quadrants + center).
-    """
+def division_table(div_overlap: float = 0.0) -> np.ndarray:
+    """The (5, 4) normalized sub-region table, optionally grown about each
+    child's center by ``div_overlap`` (0.0 = exact quadrants + center).
+    Shared by the device search AND the NumPy oracle so the two can never
+    disagree on geometry."""
     table = _DIVISIONS
     if div_overlap:
         centers = (table[:, :2] + table[:, 2:]) / 2.0
         half = (table[:, 2:] - table[:, :2]) / 2.0 * (1.0 + div_overlap)
         table = np.concatenate([centers - half, centers + half], axis=1).astype(np.float32)
-    return _apply_normalized(regions, jnp.asarray(table), offset)
+    return table
+
+
+def divide_regions(regions, div_overlap: float = 0.0, offset: float = 1.0):
+    """Zoom subdivision: [..., 4] -> [..., 5, 4] children."""
+    return _apply_normalized(regions, jnp.asarray(division_table(div_overlap)), offset)

@@ -186,3 +186,18 @@ def test_deep_tree_finds_small_objects():
 
     assert run(2) < 0.5, "shallow tree should NOT localize the small object"
     assert run(4) >= 0.5, "deep tree must localize the small object"
+
+
+def test_device_matches_oracle_with_div_overlap():
+    import dataclasses
+
+    feat, roi_fwd, hw = _setup(seed=17)
+    scfg = dataclasses.replace(SCFG, DIV_OVERLAP=0.3)
+    boxes, scores, valid = az_search(roi_fwd, feat, hw, scfg, num_templates=5)
+    ob, osc = az_search_oracle(
+        lambda f, r: roi_fwd(jnp.asarray(f), jnp.asarray(r)),
+        np.asarray(feat), hw, scfg, num_templates=5,
+    )
+    nv = int(valid.sum())
+    assert nv == len(osc)
+    np.testing.assert_allclose(np.asarray(scores[:nv]), osc, atol=1e-4)
