@@ -15,5 +15,7 @@ from aznet_tpu.ops.boxes import (
     flip_boxes,
 )
 from aznet_tpu.ops.iou import bbox_overlaps
-from aznet_tpu.ops.nms import nms, nms_jax, nms_mask
+from aznet_tpu.ops.nms import nms, nms_jax, nms_mask, nms_topk
 from aznet_tpu.ops.losses import smooth_l1_loss, sigmoid_ce_loss, softmax_ce_loss
+from aznet_tpu.ops.roi_pool import roi_pool, roi_align, roi_pool_caffe
+from aznet_tpu.ops.preprocess import preprocess_image, prep_im_for_blob, im_list_to_blob
