@@ -34,6 +34,8 @@ def parse_args():
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", default=None,
                    help="data[xmodel] device mesh, e.g. '8' or '4x2'")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (SURVEY §5.2 sanitizer role)")
     return p.parse_args()
 
 
@@ -53,6 +55,8 @@ def main():
 
     import jax
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     print(f"devices: {jax.devices()}")
     print(f"imdb: {args.imdb}  net: {args.net}")
 
