@@ -140,3 +140,31 @@ def test_train_loop_with_mesh(tmp_path):
     assert int(state.step) == 4
     leaves = jax.tree_util.tree_leaves(jax.device_get(state.params))
     assert all(np.isfinite(np.asarray(l)).all() for l in leaves)
+
+
+def test_sharded_detect_matches_single_device():
+    from aznet_tpu.api import build_frcnn_net, make_detect_batch
+    from aznet_tpu.parallel.inference import make_sharded_detect
+    from aznet_tpu.config import cfg_from_dict
+
+    cfg = cfg_from_dict(
+        Config(),
+        {
+            "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                      "NUM_CLASSES": 4, "COMPUTE_DTYPE": "float32"},
+            "TEST": {"SCALES": [64], "MAX_SIZE": 128},
+        },
+    )
+    net = build_frcnn_net(cfg)
+    mesh = make_mesh(8, model_parallel=1)
+    canvas = (64, 128)
+    rng = np.random.RandomState(1)
+    ims = jnp.asarray(rng.randint(0, 256, (8, 96, 128, 3)).astype(np.uint8))
+    boxes = jnp.asarray(rng.uniform(0, 60, (8, 4, 4)).astype(np.float32))
+    boxes = boxes.at[..., 2:].add(30.0)
+    sharded = make_sharded_detect(net.model, cfg, canvas, mesh)
+    with mesh:
+        s1, p1 = sharded(net.params, ims, boxes)
+    s2, p2 = jax.jit(make_detect_batch(net.model, cfg, canvas))(net.params, ims, boxes)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
