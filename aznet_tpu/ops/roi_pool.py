@@ -6,17 +6,19 @@ each ROI into a fixed ``pool x pool`` grid from the conv feature map at
 ``spatial_scale = 1/16``, with integer floor/ceil rounding of sub-bin
 boundaries.
 
-Two implementations:
+Three implementations behind ``roi_pool(mode=...)``:
 
-- :func:`roi_pool_caffe` — bit-parity semantics (round/floor/ceil, empty
-  bins produce 0) as fully vectorized gathers with a static per-bin window
-  bound; used for numerics-parity tests and the ``caffe_max`` pooling mode.
-- :func:`roi_align` — bilinear crop-and-resize with average pooling (no
-  rounding), the TPU-native default: separable gathers, fixed sample count,
-  smooth gradients. This is what we train with (POOLING_MODE='align').
+- :func:`roi_pool_caffe` ('caffe_max') — bit-parity semantics (round/
+  floor/ceil via exact integer bin boundaries, empty bins produce 0) as
+  vectorized gathers with a static per-bin window bound.
+- :func:`roi_align` ('align', the default) — bilinear crop-and-resize with
+  average pooling, expressed as separable bilinear-weight MXU matmuls.
+  This is what we train and search with.
+- ``aznet_tpu.ops.pallas.roi_kernel.roi_align_pallas`` ('align_pallas') —
+  the same numerics fully fused in VMEM; exact but slower than the XLA
+  separable form at VOC shapes (kept as an alternative / for large maps).
 
-Both are pure jnp (jit/vmap/grad-safe). A Pallas-fused variant for the hot
-search loop lives in ``aznet_tpu.ops.pallas.roi_kernel``.
+All are pure jnp / Pallas (jit/vmap/grad-safe where applicable).
 """
 
 from __future__ import annotations
