@@ -30,3 +30,38 @@ def test_entry_traces():
 def test_dryrun_multichip_small():
     # 2-device mesh keeps this affordable in the suite; the driver runs 8.
     __graft_entry__.dryrun_multichip(2)
+
+
+def test_dryrun_multichip_driver_invocation():
+    """Replicate the driver's exact call: a fresh process whose JAX backend
+    initializes with ONE device, then ``dryrun_multichip(8)``.
+
+    Round 1 failed precisely here (MULTICHIP_r01.json rc=1): the in-suite test
+    passed only because conftest pre-forced 8 CPU devices. This test gives the
+    child a single-device backend so dryrun_multichip must take its
+    subprocess re-exec path to succeed.
+    """
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    # Undo conftest's 8-device forcing for the child; pin it to 1 CPU device
+    # (stands in for the driver's 1-chip axon platform without needing a TPU).
+    env["XLA_FLAGS"] = " ".join(
+        f for f in env.get("XLA_FLAGS", "").split()
+        if "xla_force_host_platform_device_count" not in f
+    )
+    env["JAX_PLATFORMS"] = "cpu"
+    code = (
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"
+        "import __graft_entry__\n"
+        "__graft_entry__.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", code], cwd=repo, env=env,
+        capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr}"
+    assert "dryrun_multichip(8)" in proc.stdout and "OK" in proc.stdout
