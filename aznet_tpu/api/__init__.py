@@ -106,13 +106,17 @@ def _cast_inference_params(params, cfg: Config):
     )
 
 
-def _propose_core(model, params, cfg: Config, image, canvas_hw):
+def _propose_core(model, params, cfg: Config, image, canvas_hw,
+                  src_hw=None, scale=None):
     """image: raw [H, W, 3] BGR (device array) -> (boxes, scores, valid) in
-    ORIGINAL image coordinates."""
+    ORIGINAL image coordinates. ``src_hw``/``scale``: dynamic true extents +
+    host-computed scale when ``image`` is zero-padded to a static raw shape
+    (the canvas-bucketed batched path)."""
     params = _cast_inference_params(params, cfg)
     blob, im_scale, (vh, vw) = preprocess_image(
         image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
         canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
+        src_hw=src_hw, scale=scale,
     )
     feat = model.apply(params, blob[None], method="features")[0]
 
@@ -231,7 +235,7 @@ def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
     off = cfg.BOX_OFFSET
     w = boxes[:, 2] - boxes[:, 0] + off
     h = boxes[:, 3] - boxes[:, 1] + off
-    side = jnp.sqrt(w * h)  # [R]
+    areas = w * h  # [R]
 
     outs, scale_errs = [], []
     for s_idx, target in enumerate(cfg.TEST.SCALES):
@@ -242,7 +246,9 @@ def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
         feat = model.apply(params, blob[None], method="features")[0]
         out_s = model.apply(params, feat, boxes * im_scale, method="roi_forward")
         outs.append(out_s)
-        scale_errs.append(jnp.abs(side * im_scale - 224.0))
+        # fast-rcnn's rule: minimize |area * scale^2 - 224^2| (not the
+        # sqrt'd variant — the two differ near crossover points).
+        scale_errs.append(jnp.abs(areas * im_scale**2 - 224.0**2))
     errs = jnp.stack(scale_errs, axis=0)  # [S, R]
     assign = jnp.argmin(errs, axis=0)  # [R]
 
@@ -309,6 +315,25 @@ def make_propose_batch(model, cfg: Config, canvas_hw):
             return _propose_core(model, params, cfg, image, canvas_hw)
 
         return jax.vmap(one)(images)
+
+    return fn
+
+
+def make_propose_batch_padded(model, cfg: Config, canvas_hw):
+    """Batched propose over ZERO-PADDED raw images: ``(params,
+    images [B,Hp,Wp,3], src_hw [B,2] float32, scales [B] float32) ->
+    (boxes, scores, valid)``.
+
+    The batched eval path pads raw images to a per-canvas-bucket static
+    shape on host, so XLA compiles ONE program per canvas bucket instead of
+    one per distinct raw image size (dozens on real VOC)."""
+
+    def fn(params, images, src_hw, scales):
+        def one(image, hw, s):
+            return _propose_core(model, params, cfg, image, canvas_hw,
+                                 src_hw=hw, scale=s)
+
+        return jax.vmap(one)(images, src_hw, scales)
 
     return fn
 

@@ -115,7 +115,8 @@ def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -
     }
     for i, entry in enumerate(entries):
         hw = (entry["height"] * scales[i], entry["width"] * scales[i])
-        regions = sample_az_regions(gts[i], hw, cfg.TRAIN, rng, offset=cfg.BOX_OFFSET)
+        regions = sample_az_regions(gts[i], hw, cfg.TRAIN, rng, offset=cfg.BOX_OFFSET,
+                                    div_overlap=cfg.SEAR.DIV_OVERLAP)
         labels = az_labels_for_regions(regions, gts[i], cfg.TRAIN, templates,
                                        offset=cfg.BOX_OFFSET)
         n = regions.shape[0]

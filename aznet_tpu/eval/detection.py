@@ -49,34 +49,47 @@ def propose_all_batched(net: Net, imdb, batch_size: int = 16,
     import jax
     import jax.numpy as jnp
 
-    from aznet_tpu.api import make_propose_batch, _canvas_for
+    from aznet_tpu.api import make_propose_batch_padded, _canvas_for
+    from aznet_tpu.ops.preprocess import compute_scale
 
     cfg = net.cfg
     n = min(imdb.num_images, max_images or imdb.num_images)
-    # Bucket image indices by (canvas, raw shape) — raw shape must match
-    # within a batch for stacking.
+    # Bucket image indices by CANVAS only; raw images are zero-padded on
+    # host to the bucket's (rounded-up) max raw shape, so real VOC's dozens
+    # of distinct raw sizes compile one program per canvas, not per size.
     buckets: dict = {}
     for i in range(n):
         e = imdb.roidb[i]
-        key = (_canvas_for(e["height"], e["width"], cfg), e["height"], e["width"])
-        buckets.setdefault(key, []).append(i)
+        buckets.setdefault(_canvas_for(e["height"], e["width"], cfg), []).append(i)
 
+    rup = lambda v, m=32: int(-(-v // m) * m)
     out: List[Optional[np.ndarray]] = [None] * n
     timer = Timer()
-    for (canvas, h, w), idxs in buckets.items():
-        key = ("propose_batched", canvas, h, w, batch_size)
+    for canvas, idxs in buckets.items():
+        hp = rup(max(imdb.roidb[i]["height"] for i in idxs))
+        wp = rup(max(imdb.roidb[i]["width"] for i in idxs))
+        key = ("propose_batched", canvas, hp, wp, batch_size)
         if key not in net._jit_cache:
             net._jit_cache[key] = jax.jit(
-                make_propose_batch(net.model, cfg, canvas))
+                make_propose_batch_padded(net.model, cfg, canvas))
         fn = net._jit_cache[key]
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
-            ims = np.stack([imdb.image_array(imdb.roidb[i]) for i in chunk])
-            if ims.shape[0] < batch_size:  # pad the tail batch
-                pad = batch_size - ims.shape[0]
-                ims = np.concatenate([ims, np.repeat(ims[-1:], pad, 0)])
+            ims = np.zeros((batch_size, hp, wp, 3), np.float32)
+            src_hw = np.zeros((batch_size, 2), np.float32)
+            scales = np.ones((batch_size,), np.float32)
+            for j, i in enumerate(chunk):
+                im = imdb.image_array(imdb.roidb[i])
+                ims[j, : im.shape[0], : im.shape[1]] = im
+                src_hw[j] = (im.shape[0], im.shape[1])
+                scales[j] = compute_scale(im.shape[0], im.shape[1],
+                                          cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+            if len(chunk) < batch_size:  # pad the tail batch
+                src_hw[len(chunk):] = src_hw[len(chunk) - 1]
+                scales[len(chunk):] = scales[len(chunk) - 1]
             timer.tic()
-            boxes, scores, valid = fn(net.params, jnp.asarray(ims))
+            boxes, scores, valid = fn(net.params, jnp.asarray(ims),
+                                      jnp.asarray(src_hw), jnp.asarray(scales))
             boxes, scores, valid = (np.asarray(boxes), np.asarray(scores),
                                     np.asarray(valid))
             t = timer.toc(average=False)
@@ -93,8 +106,12 @@ def propose_all_batched(net: Net, imdb, batch_size: int = 16,
 
 def evaluate_recall(net: Net, imdb, top_ks=(100, 300, 1000),
                     max_images: Optional[int] = None, batched: bool = False,
-                    batch_size: int = 16):
-    """Proposal recall table over an imdb (BASELINE config 2)."""
+                    batch_size: int = 16, include_difficult: bool = False):
+    """Proposal recall table over an imdb (BASELINE config 2).
+
+    VOC protocol excludes 'difficult' instances from the recall denominator
+    (as the mAP eval does); set ``include_difficult=True`` for the raw count.
+    """
     from aznet_tpu.eval.recall import recall_table
 
     n = min(imdb.num_images, max_images or imdb.num_images)
@@ -103,7 +120,14 @@ def evaluate_recall(net: Net, imdb, top_ks=(100, 300, 1000),
                                         max_images=n)
     else:
         proposals = propose_all(net, imdb, max_images=n)
-    gts = [imdb.roidb[i]["boxes"] for i in range(n)]
+    gts = []
+    for i in range(n):
+        entry = imdb.roidb[i]
+        boxes = entry["boxes"]
+        diff = entry.get("difficult")
+        if not include_difficult and diff is not None and np.asarray(diff).any():
+            boxes = boxes[~np.asarray(diff, bool)]
+        gts.append(boxes)
     return recall_table(gts, proposals, top_ks=top_ks)
 
 

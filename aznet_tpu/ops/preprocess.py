@@ -33,7 +33,7 @@ def compute_scale(h: int, w: int, target_size: int, max_size: int) -> float:
 
 
 def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0,
-                          compute_dtype=jnp.float32):
+                          compute_dtype=jnp.float32, src_hw=None):
     """Resize ``im [H, W, C]`` by dynamic ``scale`` onto a static canvas.
 
     Output pixel (y, x) samples input at ``(y + 0.5)/scale - 0.5`` (half-pixel
@@ -41,9 +41,19 @@ def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0,
     extent are ``pad_value``. Returns ``(canvas [out_h, out_w, C],
     valid_h, valid_w)`` where valid_* are the dynamic scaled extents.
 
-    Fully jit-able: ``scale`` may be a traced scalar.
+    Fully jit-able: ``scale`` may be a traced scalar. ``src_hw``: optional
+    dynamic true (h, w) when ``im`` itself is zero-padded to a static shape
+    (batched path: one compiled program per canvas, not per raw size) —
+    sample positions clip to the true extent, so pad rows/cols (whose
+    triangle weight is then exactly 0) are never read.
     """
-    h, w = im.shape[0], im.shape[1]
+    hp, wp = im.shape[0], im.shape[1]
+    if src_hw is None:
+        h = jnp.float32(hp)
+        w = jnp.float32(wp)
+    else:
+        h = jnp.asarray(src_hw[0], jnp.float32)
+        w = jnp.asarray(src_hw[1], jnp.float32)
     scale = jnp.asarray(scale, jnp.float32)
     valid_h = jnp.round(h * scale).astype(jnp.int32)
     valid_w = jnp.round(w * scale).astype(jnp.int32)
@@ -55,8 +65,8 @@ def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0,
                   0.0, h - 1.0)
     xs = jnp.clip((jnp.arange(out_w, dtype=jnp.float32) + 0.5) / scale - 0.5,
                   0.0, w - 1.0)
-    wy = jnp.maximum(1.0 - jnp.abs(ys[:, None] - jnp.arange(h, dtype=jnp.float32)), 0.0)
-    wx = jnp.maximum(1.0 - jnp.abs(xs[:, None] - jnp.arange(w, dtype=jnp.float32)), 0.0)
+    wy = jnp.maximum(1.0 - jnp.abs(ys[:, None] - jnp.arange(hp, dtype=jnp.float32)), 0.0)
+    wx = jnp.maximum(1.0 - jnp.abs(xs[:, None] - jnp.arange(wp, dtype=jnp.float32)), 0.0)
     # Fold the validity mask into the weights (rows beyond the scaled extent
     # become all-zero -> output pad region is exactly pad_value).
     wy = (wy * (jnp.arange(out_h)[:, None] < valid_h)).astype(compute_dtype)
@@ -79,7 +89,7 @@ def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0,
 
 def preprocess_image(im, pixel_means, target_size: int, max_size: int,
                      out_h: int, out_w: int, dtype=jnp.float32,
-                     compute_dtype=None):
+                     compute_dtype=None, src_hw=None, scale=None):
     """Fused prep_im_for_blob on device: mean-subtract + scale-resize + pad.
 
     ``im``: [H, W, 3] BGR (uint8 or float). Returns ``(blob [out_h, out_w, 3],
@@ -87,16 +97,24 @@ def preprocess_image(im, pixel_means, target_size: int, max_size: int,
     TEST.SCALES/MAX_SIZE via :func:`canvas_shape`. ``compute_dtype`` controls
     the resize matmul precision (defaults to ``dtype`` when that is bf16,
     else float32).
+
+    Batched-padded path: when ``im`` is zero-padded to a static raw shape,
+    pass the dynamic true ``src_hw`` (h, w) and the host-computed ``scale``
+    (the scale rule needs true extents, which are data here, not shape).
     """
-    h, w = im.shape[0], im.shape[1]
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
-    scale = jnp.asarray(compute_scale(h, w, target_size, max_size), jnp.float32)
+    if scale is None:
+        h, w = im.shape[0], im.shape[1]
+        scale = jnp.asarray(compute_scale(h, w, target_size, max_size), jnp.float32)
+    else:
+        scale = jnp.asarray(scale, jnp.float32)
     means = jnp.asarray(pixel_means, dtype=jnp.float32)
     centered = im.astype(jnp.float32) - means
     out, vh, vw = resize_bilinear_scale(centered, scale, out_h, out_w,
                                         pad_value=0.0,
-                                        compute_dtype=compute_dtype)
+                                        compute_dtype=compute_dtype,
+                                        src_hw=src_hw)
     return out.astype(dtype), scale, (vh, vw)
 
 

@@ -37,18 +37,6 @@ def _apply_normalized_np(regions, table, offset):
     return out
 
 
-_DIV_TABLE = np.array(
-    [
-        [0.00, 0.00, 0.50, 0.50],
-        [0.50, 0.00, 1.00, 0.50],
-        [0.00, 0.50, 0.50, 1.00],
-        [0.50, 0.50, 1.00, 1.00],
-        [0.25, 0.25, 0.75, 0.75],
-    ],
-    np.float32,
-)
-
-
 def _decode_np(anchors, deltas, offset, clip):
     w = anchors[..., 2] - anchors[..., 0] + offset
     h = anchors[..., 3] - anchors[..., 1] + offset

@@ -33,16 +33,23 @@ from aznet_tpu.utils.np_boxes import (
 
 
 def division_tree_regions(im_hw, levels: int, min_size: float = 0.0,
-                          offset: float = 1.0) -> np.ndarray:
-    """All regions of the full division tree down to ``levels`` (no gating)."""
-    from aznet_tpu.search.oracle import _apply_normalized_np, _DIV_TABLE
+                          offset: float = 1.0,
+                          div_overlap: float = 0.0) -> np.ndarray:
+    """All regions of the full division tree down to ``levels`` (no gating).
 
+    ``div_overlap`` must match SEAR.DIV_OVERLAP so zoom-label regions are
+    generated on the same division geometry the search actually visits.
+    """
+    from aznet_tpu.search.oracle import _apply_normalized_np
+    from aznet_tpu.search.templates import division_table
+
+    table = division_table(div_overlap)
     h, w = float(im_hw[0]), float(im_hw[1])
     whole = np.array([[0.0, 0.0, w - offset, h - offset]], np.float32)
     out = [whole]
     current = whole
     for _ in range(levels):
-        current = _apply_normalized_np(current, _DIV_TABLE, offset).reshape(-1, 4)
+        current = _apply_normalized_np(current, table, offset).reshape(-1, 4)
         if min_size:
             sz = np.minimum(current[:, 2] - current[:, 0] + offset,
                             current[:, 3] - current[:, 1] + offset)
@@ -125,10 +132,11 @@ def az_labels_for_regions(regions: np.ndarray, gt: np.ndarray,
 
 def sample_az_regions(gt: np.ndarray, im_hw, tcfg: TrainConfig, rng,
                       tree_levels: int = 3, n_per_gt: int = 8,
-                      offset: float = 1.0) -> np.ndarray:
+                      offset: float = 1.0, div_overlap: float = 0.0) -> np.ndarray:
     """Anchor regions for one image: division tree + jittered gt, subsampled
     to TRAIN.REGIONS_PER_IMAGE with a positive bias."""
-    tree = division_tree_regions(im_hw, tree_levels, offset=offset)
+    tree = division_tree_regions(im_hw, tree_levels, offset=offset,
+                                 div_overlap=div_overlap)
     jitter = perturb_gt_regions(gt, im_hw, n_per_gt, rng, offset=offset)
     regions = np.concatenate([tree, jitter], axis=0)
     n = tcfg.REGIONS_PER_IMAGE
@@ -180,7 +188,8 @@ def compute_bbox_target_stats(imdb, cfg, proposals_by_entry=None,
         if gt.shape[0] == 0:
             continue
         regions = sample_az_regions(gt, (entry["height"], entry["width"]),
-                                    cfg.TRAIN, rng, offset=cfg.BOX_OFFSET)
+                                    cfg.TRAIN, rng, offset=cfg.BOX_OFFSET,
+                                    div_overlap=cfg.SEAR.DIV_OVERLAP)
         anchors = _apply_normalized_np(regions, templates, cfg.BOX_OFFSET)
         flat = anchors.reshape(-1, 4)
         iou = _iou(flat, gt, cfg.BOX_OFFSET)

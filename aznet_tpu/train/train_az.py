@@ -42,14 +42,24 @@ def az_loss(model, params, batch, dropout_rng=None, pos_weights=(1.0, 1.0)):
     (cfg.TRAIN.ZOOM_POS_WEIGHT / ADJ_POS_WEIGHT; 1.0 = reference parity).
     """
     train = dropout_rng is not None
-    rngs = {"dropout": dropout_rng} if train else None
     feats = model.apply(params, batch["images"], method="features")
 
-    def head_one(feat, rois):
-        return model.apply(params, feat, rois, method="roi_forward",
-                           train=train, rngs=rngs)
+    if train:
+        # Per-image dropout rngs: split over the batch, else every image in
+        # the vmapped head gets an identical mask (same key, same shapes).
+        img_rngs = jax.random.split(dropout_rng, batch["images"].shape[0])
 
-    out = jax.vmap(head_one)(feats, batch["rois"])
+        def head_one(feat, rois, rng_i):
+            return model.apply(params, feat, rois, method="roi_forward",
+                               train=True, rngs={"dropout": rng_i})
+
+        out = jax.vmap(head_one)(feats, batch["rois"], img_rngs)
+    else:
+        def head_one(feat, rois):
+            return model.apply(params, feat, rois, method="roi_forward",
+                               train=False)
+
+        out = jax.vmap(head_one)(feats, batch["rois"])
     valid = batch["roi_valid"].astype(jnp.float32)  # [B, R]
 
     zw, aw = pos_weights

@@ -27,14 +27,23 @@ from aznet_tpu.train.train_az import TrainState
 
 def frcnn_loss(model, params, batch, dropout_rng=None):
     train = dropout_rng is not None
-    rngs = {"dropout": dropout_rng} if train else None
     feats = model.apply(params, batch["images"], method="features")
 
-    def head_one(feat, rois):
-        return model.apply(params, feat, rois, method="roi_forward",
-                           train=train, rngs=rngs)
+    if train:
+        # Per-image dropout rngs (see az_loss): one split per batch element.
+        img_rngs = jax.random.split(dropout_rng, batch["images"].shape[0])
 
-    out = jax.vmap(head_one)(feats, batch["rois"])
+        def head_one(feat, rois, rng_i):
+            return model.apply(params, feat, rois, method="roi_forward",
+                               train=True, rngs={"dropout": rng_i})
+
+        out = jax.vmap(head_one)(feats, batch["rois"], img_rngs)
+    else:
+        def head_one(feat, rois):
+            return model.apply(params, feat, rois, method="roi_forward",
+                               train=False)
+
+        out = jax.vmap(head_one)(feats, batch["rois"])
     valid = batch["roi_valid"].astype(jnp.float32)
 
     cls_loss = softmax_ce_loss(out["cls_score"], batch["labels"], weights=valid)

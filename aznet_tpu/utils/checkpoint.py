@@ -113,13 +113,13 @@ class Checkpointer:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {self.directory}")
-        try:
-            restored = self._mgr.restore(
-                step, args=self._ocp.args.StandardRestore(state_template)
-            )
-        except ValueError:
-            # Template is a sub-tree of the saved structure: restore the full
-            # stored tree (nested dicts) and select the requested keys.
+        # Decide the restore path from the SAVED structure (item_metadata)
+        # rather than by catching orbax errors — error types/messages drift
+        # across versions, structure comparison does not.
+        if self._is_subtree(state_template, self._stored_tree(step)):
+            # Template is a strict sub-tree of what was saved (e.g.
+            # params-only from a params+opt_state snapshot): restore the full
+            # stored tree and select the requested keys.
             full = self._mgr.restore(step)
 
             def select(tmpl, stored):
@@ -128,4 +128,26 @@ class Checkpointer:
                 return stored
 
             restored = select(state_template, full)
+        else:
+            restored = self._mgr.restore(
+                step, args=self._ocp.args.StandardRestore(state_template)
+            )
         return restored, step
+
+    def _stored_tree(self, step: int):
+        """The saved pytree's structure (nested dicts of leaf metadata)."""
+        md = self._mgr.item_metadata(step)
+        return getattr(md, "tree", md)
+
+    @staticmethod
+    def _is_subtree(tmpl, stored) -> bool:
+        """True iff ``tmpl``'s dict structure is a STRICT sub-tree of
+        ``stored`` (fewer keys somewhere along a matching prefix)."""
+        if not isinstance(tmpl, dict) or not isinstance(stored, dict):
+            return False
+        keys_t, keys_s = set(tmpl.keys()), set(stored.keys())
+        if not keys_t <= keys_s:
+            return False  # mismatched template: let StandardRestore report it
+        if keys_t < keys_s:
+            return True
+        return any(Checkpointer._is_subtree(tmpl[k], stored[k]) for k in keys_t)

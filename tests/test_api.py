@@ -132,3 +132,44 @@ def test_propose_all_batched_matches_per_image():
     for s, b in zip(single, batched):
         assert s.shape == b.shape
         np.testing.assert_allclose(s, b, atol=1e-4)
+
+
+class _MixedSizeImdb:
+    """Minimal imdb stub: several distinct raw sizes sharing one canvas."""
+
+    def __init__(self, sizes):
+        rng = np.random.RandomState(7)
+        self.roidb = [
+            {"height": h, "width": w,
+             "boxes": np.array([[5.0, 5.0, w / 2, h / 2]], np.float32),
+             "_im": rng.randint(0, 256, (h, w, 3)).astype(np.uint8)}
+            for h, w in sizes
+        ]
+        self.num_images = len(self.roidb)
+
+    def image_array(self, entry):
+        return entry["_im"]
+
+
+def test_propose_all_batched_one_program_per_canvas():
+    """Distinct raw sizes in one canvas bucket must share ONE compiled
+    program (round-1 bug: bucketing by exact raw shape compiled per size),
+    and results must match the per-image path."""
+    from aznet_tpu.api import _canvas_for
+    from aznet_tpu.eval.detection import propose_all, propose_all_batched
+
+    net = build_az_net(CFG)
+    sizes = [(100, 150), (98, 144), (90, 140), (100, 150), (95, 148)]
+    imdb = _MixedSizeImdb(sizes)
+    canvases = {_canvas_for(h, w, CFG) for h, w in sizes}
+    assert len(canvases) == 1, "test premise: all sizes share a canvas"
+
+    batched = propose_all_batched(net, imdb, batch_size=2)
+    n_batched_programs = sum(
+        1 for k in net._jit_cache if k[0] == "propose_batched")
+    assert n_batched_programs == 1
+
+    single = propose_all(net, imdb)
+    for s, b in zip(single, batched):
+        assert s.shape == b.shape
+        np.testing.assert_allclose(s, b, atol=1e-4)

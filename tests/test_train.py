@@ -124,3 +124,27 @@ def test_lr_schedule_step_decay():
     assert abs(float(sched(0)) - 0.03) < 1e-6
     assert abs(float(sched(1000)) - 0.003) < 1e-7
     assert abs(float(sched(2500)) - 0.0003) < 1e-8
+
+
+def test_dropout_masks_differ_per_image():
+    """Two identical images in a batch must get DIFFERENT dropout masks
+    (round-1 bug: one rng shared across the vmapped head made them equal)."""
+    model = AZNet(model_cfg=CFG.MODEL)
+    state = make_az_train_state(CFG, model, jax.random.PRNGKey(0))
+    batch = _az_batch(np.random.RandomState(5))
+    # Make image 1 an exact copy of image 0 (and same rois/labels).
+    for k in batch:
+        batch[k] = batch[k].at[1].set(batch[k][0])
+
+    feats = model.apply(state.params, batch["images"], method="features")
+    img_rngs = jax.random.split(jax.random.PRNGKey(7), B)
+    out = jax.vmap(
+        lambda f, r, key: model.apply(state.params, f, r, method="roi_forward",
+                                      train=True, rngs={"dropout": key})
+    )(feats, batch["rois"], img_rngs)
+    # Same inputs, different dropout rng => different head outputs.
+    assert not np.allclose(np.asarray(out["zoom"][0]), np.asarray(out["zoom"][1]))
+    # And the loss path itself uses per-image rngs (no exception, finite).
+    loss, _ = az_loss(model, state.params, batch,
+                      dropout_rng=jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))

@@ -87,12 +87,22 @@ def main():
                                max_images=args.max_images,
                                cache_file=os.path.join(args.output, "detections.pkl"))
         n = args.max_images or imdb.num_images
-        sub = [cls_dets[:n] for cls_dets in all_boxes]
-        roidb = imdb.roidb[:n]
-        from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
+        # Prefer the imdb's own protocol (VOC<=2009 selects the 11-point
+        # metric, writes results files — the reference flow); fall back to
+        # the generic roidb matcher for partial runs or imdbs without one.
+        aps = None
+        if n == imdb.num_images:
+            try:
+                aps = imdb.evaluate_detections(all_boxes, args.output)
+            except NotImplementedError:
+                aps = None
+        if aps is None:
+            sub = [cls_dets[:n] for cls_dets in all_boxes]
+            roidb = imdb.roidb[:n]
+            from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
 
-        aps = eval_detections_on_roidb(sub, roidb, imdb.num_classes)
-        print(json.dumps({k: round(v, 4) for k, v in aps.items()}, indent=2))
+            aps = eval_detections_on_roidb(sub, roidb, imdb.num_classes)
+        print(json.dumps({k: round(float(v), 4) for k, v in aps.items()}, indent=2))
 
 
 if __name__ == "__main__":
