@@ -77,13 +77,32 @@ def nms(dets: np.ndarray, thresh: float, offset: float = 1.0) -> list:
 # ---------------------------------------------------------------------------
 
 
-def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0):
+def _pallas_profitable(n: int) -> bool:
+    """Use the Pallas kernel on real TPUs for large N.
+
+    The fixpoint's cost is data-dependent (iterations = suppression-DAG
+    depth): measured 128 ms vs 7 ms for the kernel on 32x2048 diverse boxes
+    (worst case), near-equal on degenerate boxes. Below ~2 tiles the padding
+    overhead eats the win; off-TPU the kernel would run interpreted.
+    """
+    try:
+        backend_is_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:  # backend not initialized / unavailable
+        backend_is_tpu = False
+    return backend_is_tpu and n >= 512
+
+
+def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
+             impl: str = "auto"):
     """Exact greedy-NMS keep mask, in the ORIGINAL box order.
 
     ``boxes [N, 4]``, ``scores [N]``, optional ``valid [N]`` bool mask for
     padded inputs. Returns ``keep [N]`` bool. jit/vmap-safe, static shapes.
 
-    Algorithm: sort by score desc; build the strict-lower-triangular
+    ``impl``: 'auto' (Pallas kernel on TPU for N >= 512, else the fixpoint),
+    'fixpoint', or 'pallas'. Both are exact greedy (tested equal).
+
+    Fixpoint algorithm: sort by score desc; build the strict-lower-triangular
     suppression matrix ``S[i, j] = (j < i) & (IoU > t)``; iterate the
     antitone map ``keep <- ~any_j(S[:, j] & keep[j])`` from all-ones until
     fixpoint. By induction on sorted order the fixpoint is exactly the
@@ -91,6 +110,13 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0):
     iterations (bounded by N).
     """
     n = boxes.shape[0]
+    if impl == "auto":
+        impl = "pallas" if _pallas_profitable(n) else "fixpoint"
+    if impl == "pallas":
+        from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
+
+        return nms_pallas(boxes, scores, iou_threshold, valid=valid,
+                          offset=offset)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)

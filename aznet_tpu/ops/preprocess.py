@@ -75,10 +75,18 @@ def resize_bilinear_scale(im, scale, out_h: int, out_w: int, pad_value=0.0,
     # compute_dtype=bfloat16 runs ~30x faster on the MXU (f32 matmul is
     # emulated there) at <1 pixel-value error — the right default whenever
     # the consuming trunk computes in bf16 anyway.
+    #
+    # Layout: fold C into the non-contracted dim of each pass so both passes
+    # are plain [M,K]x[K,N] matmuls with large N. The naive einsum
+    # ("pw,owc->opc") forms degenerate N=C(=3) matmuls per output row —
+    # measured 19x slower at VOC shapes.
+    c = im.shape[2]
     im = im.astype(compute_dtype)
-    rows = jnp.einsum("oh,hwc->owc", wy, im,
+    rows = jnp.matmul(wy, im.reshape(hp, wp * c),
                       preferred_element_type=jnp.float32).astype(compute_dtype)
-    out = jnp.einsum("pw,owc->opc", wx, rows, preferred_element_type=jnp.float32)
+    rows = rows.reshape(out_h, wp, c).transpose(1, 0, 2).reshape(wp, out_h * c)
+    out = jnp.matmul(wx, rows, preferred_element_type=jnp.float32)
+    out = out.reshape(out_w, out_h, c).transpose(1, 0, 2)
     if pad_value:
         yy = jnp.arange(out_h)[:, None]
         xx = jnp.arange(out_w)[None, :]

@@ -46,13 +46,33 @@ def seed_count(seed_levels: int) -> int:
     return sum(NUM_DIVISIONS ** l for l in range(seed_levels + 1))
 
 
-def init_frontier(im_h, im_w, scfg: SearchConfig, offset: float = 1.0):
-    """Whole image + SEED_LEVELS of its divisions, padded to FRONTIER_CAP.
+def frontier_schedule(scfg: SearchConfig) -> Tuple[int, ...]:
+    """Lossless per-level frontier capacities (static shapes per level).
+
+    Level ``i`` of the search can hold at most ``seed_count * 5**i`` live
+    regions, so the early levels never need the full FRONTIER_CAP — a single
+    static cap pays full head FLOPs (fc6 is the hot matmul) on mostly-padding
+    slots at levels 0/1. Capacities are bucketed to multiples of 8 and capped
+    at FRONTIER_CAP; the schedule is exactly lossless vs. a uniform cap
+    (tested against the oracle in tests/test_search.py).
+    """
+    n = seed_count(scfg.SEED_LEVELS)
+    caps = []
+    for _ in range(scfg.MAX_LEVELS):
+        caps.append(min(scfg.FRONTIER_CAP, max(8, -(-n // 8) * 8)))
+        n *= NUM_DIVISIONS
+    return tuple(caps)
+
+
+def init_frontier(im_h, im_w, scfg: SearchConfig, offset: float = 1.0,
+                  cap: int | None = None):
+    """Whole image + SEED_LEVELS of its divisions, padded to ``cap``
+    (default FRONTIER_CAP).
 
     im_h/im_w may be traced scalars (dynamic valid extents on a static
     canvas). Returns (boxes [R, 4], valid [R]).
     """
-    r = scfg.FRONTIER_CAP
+    r = scfg.FRONTIER_CAP if cap is None else cap
     whole = jnp.stack(
         [jnp.zeros_like(jnp.asarray(im_w, jnp.float32)),
          jnp.zeros_like(jnp.asarray(im_h, jnp.float32)),
@@ -103,22 +123,14 @@ def az_search(
     templates = adjacency_templates(num_templates)
     im_h = jnp.asarray(im_hw[0], jnp.float32)
     im_w = jnp.asarray(im_hw[1], jnp.float32)
-    # One static slot per (level, region, template): no per-level eviction
-    # at all — cheaper than a top-K merge each level AND exactly lossless.
-    per_level = r_cap * num_templates
-    total = scfg.MAX_LEVELS * per_level
+    sched = frontier_schedule(scfg)
 
-    f_boxes, f_valid = init_frontier(im_h, im_w, scfg, offset)
-    c_boxes = jnp.zeros((total, 4), jnp.float32)
-    c_scores = jnp.full((total,), NEG_INF, jnp.float32)
-    level = jnp.asarray(0, jnp.int32)
+    def level_step(f_boxes, f_valid, next_cap):
+        """One tree level: head on the frontier -> (candidates, children).
 
-    def cond(state):
-        level, f_boxes, f_valid, c_boxes, c_scores = state
-        return (level < scfg.MAX_LEVELS) & jnp.any(f_valid)
-
-    def body(state):
-        level, f_boxes, f_valid, c_boxes, c_scores = state
+        Shapes are static per call site; ``next_cap`` sizes the child
+        frontier (the per-level capacity schedule).
+        """
         out = roi_forward(feat, f_boxes)
         zoom_p = jax.nn.sigmoid(out["zoom"])  # [R]
         adj_p = jax.nn.sigmoid(out["adj_score"])  # [R, K]
@@ -130,30 +142,72 @@ def az_search(
         boxes = clip_boxes(boxes, (im_h, im_w), offset)
         scores = jnp.where(f_valid[:, None], adj_p, NEG_INF)
 
-        # Write this level's candidates into its static slot.
-        c_boxes = jax.lax.dynamic_update_slice(
-            c_boxes, boxes.reshape(-1, 4), (level * per_level, 0))
-        c_scores = jax.lax.dynamic_update_slice(
-            c_scores, scores.reshape(-1), (level * per_level,))
-
-        # Zoom: divide qualifying regions, keep top-R children by parent zoom.
+        # Zoom: divide qualifying regions, keep top-next_cap children by
+        # parent zoom.
         children = divide_regions(f_boxes, scfg.DIV_OVERLAP, offset)  # [R, 5, 4]
         cw = children[..., 2] - children[..., 0] + offset
         ch = children[..., 3] - children[..., 1] + offset
         parent_ok = f_valid & (zoom_p > scfg.ZOOM_THRESH)
         child_ok = parent_ok[:, None] & (jnp.minimum(cw, ch) >= scfg.MIN_SIZE)
         priority = jnp.where(child_ok, zoom_p[:, None], NEG_INF).reshape(-1)
-        top_p, top_i = jax.lax.top_k(priority, r_cap)
-        f_boxes = children.reshape(-1, 4)[top_i]
-        f_valid = top_p > NEG_INF
+        cboxes = children.reshape(-1, 4)
+        if next_cap > priority.shape[0]:  # schedule can't grow faster than 5x
+            pad = next_cap - priority.shape[0]
+            priority = jnp.pad(priority, (0, pad), constant_values=NEG_INF)
+            cboxes = jnp.pad(cboxes, ((0, pad), (0, 0)))
+        top_p, top_i = jax.lax.top_k(priority, next_cap)
+        return (boxes.reshape(-1, 4), scores.reshape(-1),
+                cboxes[top_i], top_p > NEG_INF)
 
-        return level + 1, f_boxes, f_valid, c_boxes, c_scores
+    # Unrolled prefix: the early levels where the lossless capacity is below
+    # FRONTIER_CAP (level 0 holds only the seeds). Each gets its own static
+    # shape — at the default cfg this cuts head FLOPs per image by ~25%
+    # ((8+32)/64 of two levels' worth) with bit-identical results.
+    f_boxes, f_valid = init_frontier(im_h, im_w, scfg, offset, cap=sched[0])
+    cand_b, cand_s = [], []
+    lvl = 0
+    while lvl < scfg.MAX_LEVELS and sched[lvl] != r_cap:
+        next_cap = sched[lvl + 1] if lvl + 1 < scfg.MAX_LEVELS else sched[lvl]
+        b, s, f_boxes, f_valid = level_step(f_boxes, f_valid, next_cap)
+        cand_b.append(b)
+        cand_s.append(s)
+        lvl += 1
 
-    state = (level, f_boxes, f_valid, c_boxes, c_scores)
-    _, _, _, c_boxes, c_scores = jax.lax.while_loop(cond, body, state)
+    # Steady-state tail: remaining levels all at FRONTIER_CAP, one
+    # while_loop (early exit when the frontier empties). One static slot per
+    # (level, region, template): no per-level eviction at all — cheaper than
+    # a top-K merge each level AND exactly lossless.
+    rem = scfg.MAX_LEVELS - lvl
+    if rem > 0:
+        per_level = r_cap * num_templates
+        tail_total = rem * per_level
+        c_boxes0 = jnp.zeros((tail_total, 4), jnp.float32)
+        c_scores0 = jnp.full((tail_total,), NEG_INF, jnp.float32)
+
+        def cond(state):
+            level, f_boxes, f_valid, c_boxes, c_scores = state
+            return (level < rem) & jnp.any(f_valid)
+
+        def body(state):
+            level, f_boxes, f_valid, c_boxes, c_scores = state
+            b, s, f_boxes, f_valid = level_step(f_boxes, f_valid, r_cap)
+            c_boxes = jax.lax.dynamic_update_slice(
+                c_boxes, b, (level * per_level, 0))
+            c_scores = jax.lax.dynamic_update_slice(
+                c_scores, s, (level * per_level,))
+            return level + 1, f_boxes, f_valid, c_boxes, c_scores
+
+        state = (jnp.asarray(0, jnp.int32), f_boxes, f_valid, c_boxes0, c_scores0)
+        _, _, _, tb, ts = jax.lax.while_loop(cond, body, state)
+        cand_b.append(tb)
+        cand_s.append(ts)
+
+    c_boxes = jnp.concatenate(cand_b, axis=0)
+    c_scores = jnp.concatenate(cand_s, axis=0)
+    total = c_scores.shape[0]
 
     # Cap the NMS input to CAND_BUF by score (single top-K at the END — the
-    # only lossy step, and only when MAX_LEVELS*R*K exceeds CAND_BUF).
+    # only lossy step, and only when the accumulated slots exceed CAND_BUF).
     if total > scfg.CAND_BUF:
         c_scores, idx = jax.lax.top_k(c_scores, scfg.CAND_BUF)
         c_boxes = c_boxes[idx]
