@@ -52,6 +52,27 @@ def test_train_then_recall_chain(tmp_path):
     assert "300" in table and "AR" in table["300"]
 
 
+def test_verify_reference(tmp_path):
+    # Empty mount: says so and exits 0 (SURVEY.md §8 automation).
+    empty = tmp_path / "ref_empty"
+    empty.mkdir()
+    r = _run(["tools/verify_reference.py", "--ref", str(empty)], timeout=60)
+    assert r.returncode == 0 and "mount empty" in r.stdout
+
+    # Populated mount: checklist runs, config diff lines up SEAR.Tz with
+    # our SEAR.ZOOM_THRESH, API grep reports file:line.
+    ref = tmp_path / "ref"
+    (ref / "lib" / "detect").mkdir(parents=True)
+    (ref / "lib" / "detect" / "config.py").write_text(
+        "__C.SEAR.Tz = 0.3\n__C.TRAIN.BATCH_SIZE = 128\n")
+    (ref / "lib" / "detect" / "test.py").write_text(
+        "def im_propose(net, im):\n    pass\n")
+    r = _run(["tools/verify_reference.py", "--ref", str(ref)], timeout=60)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "[CHECK] SEAR.ZOOM_THRESH" in r.stdout and "SEAR.Tz" in r.stdout
+    assert "lib/detect/test.py:1" in r.stdout
+
+
 def test_demo_runs(tmp_path):
     r = _run(["tools/demo.py", "--cpu", "--out", str(tmp_path / "demo.png")]
              + SMALL_SET)
