@@ -83,7 +83,13 @@ class COCOImdb(Imdb):
         return self._entries
 
     def evaluate_detections(self, all_boxes, output_dir: str):
+        """COCO-protocol AP@[.5:.95] / per-area AP / AR@K (eval/coco_eval.py),
+        plus the VOC-style IoU-0.5 mAP for cross-dataset comparability."""
+        from aznet_tpu.eval.coco_eval import coco_eval
         from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
 
         self._load()
-        return eval_detections_on_roidb(all_boxes, self.roidb, self.num_classes)
+        out = coco_eval(all_boxes, self.roidb, self.num_classes)
+        voc = eval_detections_on_roidb(all_boxes, self.roidb, self.num_classes)
+        out["mAP@0.5_voc_protocol"] = voc["mAP"]
+        return out

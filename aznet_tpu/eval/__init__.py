@@ -7,3 +7,4 @@ Python here, following the standard 11-point / all-point definitions).
 
 from aznet_tpu.eval.recall import proposal_recall, recall_table
 from aznet_tpu.eval.voc_eval import voc_ap, voc_eval, eval_detections_on_roidb
+from aznet_tpu.eval.coco_eval import coco_eval

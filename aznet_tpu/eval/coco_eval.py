@@ -1,0 +1,192 @@
+"""COCO-protocol detection metrics: AP@[.5:.95], per-area AP, AR@maxDets.
+
+Reference status (SURVEY.md §2.2/§6): the AZ paper reports COCO results; the
+reference repo's own COCO eval path is unverified (empty mount). The metric
+itself is the standard COCO protocol (pycocotools ``COCOeval`` for bbox),
+re-derived here in pure NumPy — no pycocotools dependency:
+
+  - IoU thresholds 0.50:0.05:0.95 (10), recall grid 0:0.01:1 (101 points)
+  - per (class, image): greedy matching in detection-score order; each
+    detection takes the not-yet-matched gt with the highest IoU >= t
+  - ignored gts (outside the area range) absorb matches without counting;
+    unmatched detections outside the area range are ignored, not FPs
+  - precision is made monotonically non-increasing from the right, then
+    sampled at the recall grid; AP = mean over classes (with gt) and IoUs
+  - AR@K = mean over classes/IoUs of max recall with <= K dets per image
+
+Box convention: this framework stores COCO boxes inclusively
+(``x2 = x + w - 1``, see data/coco.py), so areas/IoU here use ``offset=1``
+to recover the original continuous widths. Pass ``offset=0`` for raw
+continuous xyxy boxes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence
+
+import numpy as np
+
+IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)  # .5 ... .95
+REC_THRS = np.linspace(0.0, 1.0, 101)
+AREA_RANGES = {
+    "all": (0.0, float(1e10)),
+    "small": (0.0, 32.0 ** 2),
+    "medium": (32.0 ** 2, 96.0 ** 2),
+    "large": (96.0 ** 2, float(1e10)),
+}
+
+
+def _iou_matrix(dets: np.ndarray, gts: np.ndarray, offset: float) -> np.ndarray:
+    """[D, G] IoU (no crowd handling — crowds are dropped at parse)."""
+    if dets.size == 0 or gts.size == 0:
+        return np.zeros((dets.shape[0], gts.shape[0]))
+    iw = (np.minimum(dets[:, None, 2], gts[None, :, 2])
+          - np.maximum(dets[:, None, 0], gts[None, :, 0]) + offset)
+    ih = (np.minimum(dets[:, None, 3], gts[None, :, 3])
+          - np.maximum(dets[:, None, 1], gts[None, :, 1]) + offset)
+    inter = np.maximum(iw, 0) * np.maximum(ih, 0)
+    area_d = ((dets[:, 2] - dets[:, 0] + offset)
+              * (dets[:, 3] - dets[:, 1] + offset))[:, None]
+    area_g = ((gts[:, 2] - gts[:, 0] + offset)
+              * (gts[:, 3] - gts[:, 1] + offset))[None, :]
+    union = area_d + area_g - inter
+    return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
+
+
+def _match_image(dets, gts, gt_ignore, iou_thrs, offset):
+    """pycocotools ``evaluateImg`` for one (class, image, area-range).
+
+    dets: [D, 5] score-sorted desc. Returns (dt_match [T, D] bool,
+    dt_ignore [T, D] bool) per IoU threshold.
+    """
+    ious = _iou_matrix(dets[:, :4], gts, offset)
+    n_t, n_d, n_g = len(iou_thrs), dets.shape[0], gts.shape[0]
+    dtm = np.zeros((n_t, n_d), bool)
+    dtig = np.zeros((n_t, n_d), bool)
+    for ti, t in enumerate(iou_thrs):
+        gtaken = np.zeros(n_g, bool)
+        for d in range(n_d):
+            best, best_iou = -1, min(t, 1.0 - 1e-10)
+            for g in range(n_g):
+                if gtaken[g] and not gt_ignore[g]:
+                    continue
+                # prefer any non-ignored match over an ignored one
+                if best > -1 and not gt_ignore[best] and gt_ignore[g]:
+                    break  # gts are sorted ignored-last; nothing better left
+                if ious[d, g] >= best_iou:
+                    best_iou = ious[d, g]
+                    best = g
+            if best >= 0:
+                gtaken[best] = True
+                dtm[ti, d] = True
+                dtig[ti, d] = gt_ignore[best]
+    return dtm, dtig
+
+
+def coco_eval(all_boxes, roidb: List[dict], num_classes: int,
+              max_dets: Sequence[int] = (1, 10, 100),
+              offset: float = 1.0) -> Dict[str, float]:
+    """COCO AP/AR from in-memory detections.
+
+    ``all_boxes[cls][img] = [N, 5]`` (the framework's standard layout, same
+    as :func:`aznet_tpu.eval.voc_eval.eval_detections_on_roidb`).
+
+    Returns {"AP", "AP50", "AP75", "AP_small", "AP_medium", "AP_large",
+    "AR@1", "AR@10", "AR@100", "class_<c>_AP"}.
+    """
+    n_img = len(roidb)
+    top_k = max(max_dets)
+    iou_thrs = IOU_THRS
+
+    # Pre-sort gt per (img, cls); ignored-last ordering is assumed by the
+    # matcher. Ignore flags are area-range dependent, so store areas.
+    results: Dict[str, Dict] = {}
+    per_class_ap = {}
+    ap_by_range = {k: [] for k in AREA_RANGES}
+    ar_by_k = {k: [] for k in max_dets}
+
+    for c in range(1, num_classes):
+        # Gather per-image gt and detections for this class.
+        gt_img, det_img = [], []
+        for i in range(n_img):
+            m = roidb[i]["gt_classes"] == c
+            gts = roidb[i]["boxes"][m].astype(np.float64)
+            dets = np.asarray(all_boxes[c][i], np.float64).reshape(-1, 5)
+            order = np.argsort(-dets[:, 4], kind="stable")[:top_k]
+            gt_img.append(gts)
+            det_img.append(dets[order])
+        n_gt_all = int(sum(g.shape[0] for g in gt_img))
+
+        for rng_name, (amin, amax) in AREA_RANGES.items():
+            # Match every image at every IoU threshold for this range.
+            per_img = []
+            npos = 0
+            for i in range(n_img):
+                gts, dets = gt_img[i], det_img[i]
+                g_area = ((gts[:, 2] - gts[:, 0] + offset)
+                          * (gts[:, 3] - gts[:, 1] + offset))
+                g_ig = (g_area < amin) | (g_area > amax)
+                ord_g = np.argsort(g_ig, kind="stable")  # ignored last
+                gts, g_ig = gts[ord_g], g_ig[ord_g]
+                npos += int((~g_ig).sum())
+                dtm, dtig = _match_image(dets, gts, g_ig, iou_thrs, offset)
+                d_area = ((dets[:, 2] - dets[:, 0] + offset)
+                          * (dets[:, 3] - dets[:, 1] + offset))
+                out_rng = (d_area < amin) | (d_area > amax)
+                # unmatched out-of-range dets are ignored, not FPs
+                dtig = dtig | (~dtm & out_rng[None, :])
+                per_img.append((dets[:, 4], dtm, dtig))
+            if npos == 0:
+                continue
+
+            for k in (max_dets if rng_name == "all" else (top_k,)):
+                scores = np.concatenate([p[0][:k] for p in per_img])
+                dtm = np.concatenate([p[1][:, :k] for p in per_img], axis=1)
+                dtig = np.concatenate([p[2][:, :k] for p in per_img], axis=1)
+                order = np.argsort(-scores, kind="mergesort")
+                dtm, dtig = dtm[:, order], dtig[:, order]
+                tps = dtm & ~dtig
+                fps = ~dtm & ~dtig
+                tp_cum = np.cumsum(tps, axis=1).astype(np.float64)
+                fp_cum = np.cumsum(fps, axis=1).astype(np.float64)
+                rec = tp_cum / npos
+                prec = tp_cum / np.maximum(tp_cum + fp_cum, 1e-12)
+                if rng_name == "all":
+                    ar_by_k[k].append(
+                        float(np.mean(rec[:, -1])) if rec.size else 0.0)
+                if k != top_k:
+                    continue
+                # precision envelope + 101-point sampling, per IoU thr
+                ap_t = np.zeros(len(iou_thrs))
+                for ti in range(len(iou_thrs)):
+                    p = prec[ti].copy()
+                    for j in range(p.size - 1, 0, -1):
+                        p[j - 1] = max(p[j - 1], p[j])
+                    inds = np.searchsorted(rec[ti], REC_THRS, side="left")
+                    q = np.zeros(len(REC_THRS))
+                    ok = inds < p.size
+                    q[ok] = p[inds[ok]]
+                    ap_t[ti] = q.mean()
+                ap_by_range[rng_name].append(ap_t)
+                if rng_name == "all":
+                    per_class_ap[f"class_{c}_AP"] = float(ap_t.mean())
+
+    def _mean(stack):
+        return float(np.mean(np.stack(stack))) if stack else float("nan")
+
+    out = {
+        "AP": _mean(ap_by_range["all"]),
+        "AP_small": _mean(ap_by_range["small"]),
+        "AP_medium": _mean(ap_by_range["medium"]),
+        "AP_large": _mean(ap_by_range["large"]),
+    }
+    if ap_by_range["all"]:
+        stack = np.stack(ap_by_range["all"])  # [C, T]
+        out["AP50"] = float(stack[:, 0].mean())
+        out["AP75"] = float(stack[:, 5].mean())
+    else:
+        out["AP50"] = out["AP75"] = float("nan")
+    for k in max_dets:
+        out[f"AR@{k}"] = _mean(ar_by_k[k]) if ar_by_k[k] else float("nan")
+    out.update(per_class_ap)
+    return out
