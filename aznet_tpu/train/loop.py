@@ -29,6 +29,42 @@ from aznet_tpu.utils.checkpoint import Checkpointer, bake_bbox_normalization
 from aznet_tpu.utils.logging import MetricLogger
 
 
+def process_local_indices(n_entries: int):
+    """Round-robin roidb shard for this host process (SURVEY.md §2.4
+    "host data pipeline sharded per-process").
+
+    Single-process (a v5e-8 host) returns all indices. On a multi-host pod
+    slice each jax process samples only its shard, so no image is decoded
+    twice and the global batch is assembled from purely-local shards by
+    :func:`jax.make_array_from_process_local_data` — zero cross-host data
+    movement on the input path.
+    """
+    n, pid = jax.process_count(), jax.process_index()
+    idx = list(range(n_entries))[pid::n]
+    return idx if idx else [0]
+
+
+def local_batch_size(global_ims: int) -> int:
+    """Per-process slice of the global IMS_PER_BATCH (>= 1)."""
+    return max(global_ims // jax.process_count(), 1)
+
+
+def make_global_batch(batch: dict, mesh) -> dict:
+    """Assemble each process's local minibatch into global sharded arrays.
+
+    The batch dim is sharded over the mesh's 'data' axis; with one process
+    this is equivalent to a sharded device_put, and on multi-host it is THE
+    supported way to form a global array from per-process data.
+    """
+    from aznet_tpu.parallel.mesh import batch_sharding
+
+    return {
+        k: jax.make_array_from_process_local_data(
+            batch_sharding(mesh, np.ndim(v)), np.asarray(v))
+        for k, v in batch.items()
+    }
+
+
 class _Prefetcher:
     """Host-side minibatch prefetch thread (reference BlobFetcher role)."""
 
@@ -89,7 +125,9 @@ def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
     if mesh is not None:
         # Data-parallel (+TP on fc kernels) over the mesh: shard params once,
         # shard each batch's leading dim; XLA all-reduces gradients over ICI.
-        from aznet_tpu.parallel.mesh import batch_sharding, param_sharding, replicate
+        # Batches are per-process-local and assembled into global arrays
+        # (multi-host ready; identical layout at process_count == 1).
+        from aznet_tpu.parallel.mesh import param_sharding, replicate
 
         p_shard = param_sharding(mesh, state.params)
         shardings = jax.tree_util.tree_map(
@@ -98,8 +136,7 @@ def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
         state = jax.device_put(state, shardings)
 
         def batch_put(b):
-            return {k: jax.device_put(v, batch_sharding(mesh, np.ndim(v)))
-                    for k, v in b.items()}
+            return make_global_batch(b, mesh)
     for it in range(start_step, max_iters):
         batch = batch_put(prefetcher.next())
         state, metrics = jstep(state, batch, rng)
@@ -127,11 +164,15 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
     output_dir = output_dir or get_output_dir(cfg, imdb.name, "aznet")
     max_iters = max_iters or cfg.TRAIN.MAX_ITERS
 
-    rng = np.random.RandomState(cfg.RNG_SEED)
+    # Per-process sampling stream over this process's roidb shard (multi-
+    # host input pipeline; both are identity at process_count == 1).
+    rng = np.random.RandomState(cfg.RNG_SEED + 1000003 * jax.process_index())
     roidb = imdb.roidb
+    local_idx = process_local_indices(len(roidb))
+    ims_local = local_batch_size(cfg.TRAIN.IMS_PER_BATCH)
 
     def make_batch():
-        idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
+        idx = rng.choice(local_idx, size=ims_local)
         return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng, canvas)
 
     step_fn = make_az_train_step(
@@ -169,11 +210,13 @@ def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
     output_dir = output_dir or get_output_dir(cfg, imdb.name, "frcnn")
     max_iters = max_iters or cfg.TRAIN.MAX_ITERS
 
-    rng = np.random.RandomState(cfg.RNG_SEED)
+    rng = np.random.RandomState(cfg.RNG_SEED + 1000003 * jax.process_index())
     roidb = imdb.roidb
+    local_idx = process_local_indices(len(roidb))
+    ims_local = local_batch_size(cfg.TRAIN.IMS_PER_BATCH)
 
     def make_batch():
-        idx = rng.randint(len(roidb), size=cfg.TRAIN.IMS_PER_BATCH)
+        idx = rng.choice(local_idx, size=ims_local)
         entries = [roidb[i] for i in idx]
         props = []
         for i, entry in zip(idx, entries):

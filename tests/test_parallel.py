@@ -168,3 +168,29 @@ def test_sharded_detect_matches_single_device():
     s2, p2 = jax.jit(make_detect_batch(net.model, cfg, canvas))(net.params, ims, boxes)
     np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=1e-5)
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-3)
+
+
+def test_multihost_input_pipeline_helpers():
+    """Process-sharded sampling + global-batch assembly (SURVEY 2.4).
+
+    At process_count == 1 (this test env) the helpers are identities /
+    plain sharded puts — which is exactly the multi-host code path run with
+    one process, so the CPU mesh exercises the real code.
+    """
+    import numpy as np
+    from aznet_tpu.train.loop import (
+        process_local_indices, local_batch_size, make_global_batch)
+
+    assert process_local_indices(5) == [0, 1, 2, 3, 4]
+    assert local_batch_size(8) == 8
+    assert local_batch_size(0) == 1
+
+    mesh = make_mesh(8, model_parallel=1)
+    batch = {"images": np.zeros((8, 16, 16, 3), np.float32),
+             "labels": np.arange(8, dtype=np.int32)}
+    out = make_global_batch(batch, mesh)
+    assert out["images"].shape == (8, 16, 16, 3)
+    # batch dim sharded over 'data' (8-way): one row per device
+    assert len(out["images"].addressable_shards) == 8
+    assert out["images"].addressable_shards[0].data.shape == (1, 16, 16, 3)
+    assert np.asarray(out["labels"]).tolist() == list(range(8))
