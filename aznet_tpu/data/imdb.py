@@ -148,6 +148,15 @@ def _populate() -> None:
 
         register_imdb(f"synthetic_{split}", make)
 
+    # Hard variant (round-2 quality bar): VOC-sized, >=512 train images,
+    # small/overlapping objects + distractor hard negatives.
+    for split, seed, n in (("train", 10, 512), ("val", 11, 64), ("test", 12, 128)):
+        def make_hard(split=split, seed=seed, n=n):
+            return SyntheticImdb(split=split, seed=seed, num_images=n,
+                                 image_hw=(375, 500), hard=True)
+
+        register_imdb(f"synthetic_hard_{split}", make_hard)
+
     from aznet_tpu.data.voc import PascalVOC, voc_data_available
 
     for year in ("2007", "2012"):

@@ -43,23 +43,77 @@ def make_image(rng: np.random.RandomState, h: int = 192, w: int = 256,
     return im, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
 
 
+def make_image_hard(rng: np.random.RandomState, h: int = 375, w: int = 500,
+                    max_objects: int = 10):
+    """VOC-sized hard variant: small/overlapping objects + distractors.
+
+    The round-1 quality ceiling came partly from a too-easy 64-image set of
+    1-4 large flat boxes. This generator plants 2..max_objects textured
+    class rectangles down to ~14 px (small at the 600-scale), allows gt-gt
+    occlusion (later objects draw over earlier ones; all stay labeled, as in
+    real VOC crowding), and adds hard negatives the net must reject:
+    non-class-colored solid rectangles and class-colored OUTLINES (right hue,
+    wrong fill). Returns (image HWC BGR uint8, boxes [G,4] f32, classes [G]).
+    """
+    im = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)
+
+    # Distractor layer first: 2-6 solid non-class rectangles + outlines.
+    for _ in range(rng.randint(2, 7)):
+        dw = rng.randint(12, w // 3)
+        dh = rng.randint(12, h // 3)
+        x1 = rng.randint(0, w - dw)
+        y1 = rng.randint(0, h - dh)
+        if rng.rand() < 0.5:
+            color = rng.randint(90, 200, 3)  # grayish/non-class hue
+            im[y1:y1 + dh, x1:x1 + dw] = color.astype(np.uint8)
+        else:  # class-colored outline, hollow center (hard negative)
+            cls = rng.randint(1, len(CLASSES))
+            color = np.asarray(_COLORS[cls], int)
+            t = max(2, min(dw, dh) // 10)
+            im[y1:y1 + dh, x1:x1 + t] = color
+            im[y1:y1 + dh, x1 + dw - t:x1 + dw] = color
+            im[y1:y1 + t, x1:x1 + dw] = color
+            im[y1 + dh - t:y1 + dh, x1:x1 + dw] = color
+
+    n = rng.randint(2, max_objects + 1)
+    boxes, classes = [], []
+    for _ in range(n):
+        # Log-uniform sizes: half the objects land below ~40 px.
+        lo, hi = np.log(14), np.log(min(h, w) // 2)
+        bw = int(np.exp(rng.uniform(lo, hi)))
+        bh = int(np.exp(rng.uniform(lo, hi)))
+        x1 = rng.randint(0, w - bw)
+        y1 = rng.randint(0, h - bh)
+        cls = rng.randint(1, len(CLASSES))
+        color = np.asarray(_COLORS[cls], int)
+        patch = np.clip(
+            color[None, None] + rng.randint(-30, 30, (bh, bw, 3)), 0, 255)
+        im[y1:y1 + bh, x1:x1 + bw] = patch.astype(np.uint8)
+        boxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
+        classes.append(cls)
+    return im, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
+
+
 class SyntheticImdb(Imdb):
     def __init__(self, split: str = "train", seed: int = 0, num_images: int = 64,
-                 image_hw=(192, 256)):
-        super().__init__(f"synthetic_{split}", list(CLASSES))
+                 image_hw=(192, 256), hard: bool = False):
+        name = f"synthetic_{'hard_' if hard else ''}{split}"
+        super().__init__(name, list(CLASSES))
         self.seed = seed
         self._n = num_images
         self.image_hw = image_hw
+        self.hard = hard
 
     @property
     def num_images(self) -> int:
         return self._n
 
     def gt_roidb(self):
+        gen = make_image_hard if self.hard else make_image
         roidb = []
         for i in range(self._n):
             rng = np.random.RandomState(self.seed * 100003 + i)
-            im, boxes, classes = make_image(rng, *self.image_hw)
+            im, boxes, classes = gen(rng, *self.image_hw)
             roidb.append(
                 {
                     "image": im,

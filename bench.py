@@ -9,8 +9,13 @@ to 600x800). ``vs_baseline`` normalizes against the north-star 5,000 img/s
 on 8 chips, i.e. 625 img/s per chip, scaled by the visible device count.
 
 Env knobs:
-  AZNET_BENCH_PRESET=smoke   tiny config for CPU sanity runs
-  AZNET_BENCH_BATCH=N        per-device batch (default: autotuned small set)
+  AZNET_BENCH_PRESET=smoke           tiny config for CPU sanity runs
+  AZNET_BENCH_PRESET=coco_deep       BASELINE config 4 (deep tree, N=1000)
+  AZNET_BENCH_PRESET=resnet50_1080p  BASELINE config 5 (ResNet-50, 1080p)
+  AZNET_BENCH_BATCH=N                per-device batch (default: autotuned)
+
+The default (full) preset also reports the secondary BASELINE metric
+``nms_mboxes_per_sec`` (Pallas exact-greedy NMS on 32768 boxes).
 """
 
 from __future__ import annotations
@@ -42,6 +47,33 @@ def _build(preset: str):
         )
         raw_hw = (96, 128)
         canvas = (64, 128)
+    elif preset == "coco_deep":
+        # BASELINE config 4: COCO deep-zoom small-object regime
+        # (experiments/cfgs/coco_deep_tree.yml knobs).
+        cfg = cfg_from_dict(
+            Config(),
+            {
+                "MODEL": {"NUM_CLASSES": 81},
+                "SEAR": {"MAX_LEVELS": 8, "MIN_SIZE": 8.0, "FRONTIER_CAP": 128,
+                         "CAND_BUF": 4096, "NUM_PROPOSALS": 1000},
+            },
+        )
+        raw_hw = (480, 640)  # typical COCO size -> x1.25 -> 600x800
+        canvas = (608, 800)
+    elif preset == "resnet50_1080p":
+        # BASELINE config 5: ResNet-50 trunk, 1080p zoom search
+        # (experiments/cfgs/resnet50_1080p.yml knobs, single 1080 scale).
+        cfg = cfg_from_dict(
+            Config(),
+            {
+                "MODEL": {"BACKBONE": "resnet50"},
+                "TEST": {"SCALES": (1080,), "MAX_SIZE": 1920},
+                "SEAR": {"MAX_LEVELS": 7, "FRONTIER_CAP": 128,
+                         "CAND_BUF": 4096, "NUM_PROPOSALS": 1000},
+            },
+        )
+        raw_hw = (1080, 1920)
+        canvas = (1088, 1920)
     else:
         cfg = Config()  # VGG-16, SEAR defaults (depth 6, cap 64, N=300)
         raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
@@ -98,6 +130,10 @@ def main():
         batches = [int(os.environ["AZNET_BENCH_BATCH"])]
     elif preset == "smoke":
         batches = [2]
+    elif preset == "coco_deep":
+        batches = [16]
+    elif preset == "resnet50_1080p":
+        batches = [4]  # 1088x1920 activations: small per-chip batch
     else:
         batches = [16, 32]
 
@@ -113,14 +149,54 @@ def main():
 
     per_chip_target = 5000.0 / 8.0
     vs = best / (per_chip_target * n_dev) if best else 0.0
-    metric = ("propose_images_per_sec_vgg16_600x800" if preset != "smoke"
-              else "propose_images_per_sec_smoke")
-    print(json.dumps({
+    metric = {
+        "smoke": "propose_images_per_sec_smoke",
+        "coco_deep": "propose_images_per_sec_coco_deep_tree",
+        "resnet50_1080p": "propose_images_per_sec_resnet50_1080p",
+    }.get(preset, "propose_images_per_sec_vgg16_600x800")
+    out = {
         "metric": metric,
         "value": round(best, 2),
         "unit": "img/s",
         "vs_baseline": round(vs, 4),
-    }))
+    }
+    if preset == "full":
+        nms_rate = _bench_nms_secondary()
+        if nms_rate is not None:
+            out["nms_mboxes_per_sec"] = nms_rate
+    print(json.dumps(out))
+
+
+def _bench_nms_secondary():
+    """Secondary BASELINE metric: exact-greedy NMS throughput (Mboxes/s).
+
+    Runs the Pallas kernel on 32768 diverse boxes (the large-N regime the
+    metric targets); returns None off-TPU so CPU smoke runs stay fast.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if jax.devices()[0].platform == "cpu":
+        return None
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
+
+    n = 32768
+    rng = np.random.RandomState(3)
+    xy = rng.uniform(0, 2000, (n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 300, (n, 2)).astype(np.float32)
+    b = jnp.asarray(np.concatenate([xy, xy + wh], 1))
+    s = jnp.asarray(rng.permutation(n).astype(np.float32) / n)
+    f = jax.jit(lambda b, s: nms_pallas(b, s, 0.5))
+    for _ in range(2):
+        float(jnp.sum(f(b, s).astype(jnp.float32)))
+    reps = 10
+    t0 = time.perf_counter()
+    acc = jnp.float32(0)
+    for _ in range(reps):
+        acc = acc + jnp.sum(f(b, s).astype(jnp.float32))
+    float(acc)
+    dt = (time.perf_counter() - t0) / reps
+    return round(n / dt / 1e6, 2)
 
 
 if __name__ == "__main__":

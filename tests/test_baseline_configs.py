@@ -1,0 +1,65 @@
+"""Regression tests for the BASELINE config-4/5 experiment files.
+
+BASELINE.md configs: (4) COCO deep-zoom tree, (5) ResNet-50 multi-scale
+1080p. These tests load the ACTUAL experiment YAMLs (so key drift fails
+loudly) and run the propose path with the configs' search topology —
+deep tree / deep frontier / N=1000 — at reduced image scale and model
+width so they stay CPU-fast. The full-scale throughput numbers live in
+bench.py presets (AZNET_BENCH_PRESET=coco_deep / resnet50_1080p) and
+DESIGN.md.
+"""
+
+import os
+
+import numpy as np
+
+from aznet_tpu.config import Config, cfg_from_file, cfg_from_dict
+from aznet_tpu.api import build_az_net, im_propose
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CFGS = os.path.join(REPO, "experiments", "cfgs")
+
+_SHRINK = {
+    "MODEL": {"WIDTH": 0.05, "FC_DIM": 64, "COMPUTE_DTYPE": "float32"},
+    "TEST": {"SCALES": (96,), "MAX_SIZE": 160},
+}
+
+
+def test_coco_deep_tree_config():
+    cfg = cfg_from_file(Config(), os.path.join(CFGS, "coco_deep_tree.yml"))
+    # The knobs that define config 4 (deep tree, small-object regime).
+    assert cfg.SEAR.MAX_LEVELS == 8
+    assert cfg.SEAR.MIN_SIZE == 8.0
+    assert cfg.SEAR.FRONTIER_CAP == 128
+    assert cfg.SEAR.NUM_PROPOSALS == 1000
+    assert cfg.MODEL.NUM_CLASSES == 81
+
+    small = cfg_from_dict(cfg, _SHRINK)
+    # Deep tree at a small canvas: MIN_SIZE terminates the search before
+    # MAX_LEVELS; the pipeline must still produce <= N valid proposals.
+    net = build_az_net(small)
+    im = np.random.RandomState(0).randint(0, 255, (120, 160, 3), np.uint8)
+    props = im_propose(net, im)
+    assert props.shape[1] == 5
+    assert 0 < props.shape[0] <= 1000
+    assert (props[:, 0] >= 0).all() and (props[:, 2] <= 160).all()
+
+
+def test_resnet50_1080p_config():
+    cfg = cfg_from_file(Config(), os.path.join(CFGS, "resnet50_1080p.yml"))
+    assert cfg.MODEL.BACKBONE == "resnet50"
+    assert cfg.TEST.SCALES == (1080,)
+    assert cfg.TEST.MAX_SIZE == 1920
+    assert cfg.SEAR.MAX_LEVELS == 7
+    assert cfg.SEAR.NUM_PROPOSALS == 1000
+    assert len(cfg.TRAIN.SCALES) == 3  # multi-scale training
+
+    small = cfg_from_dict(
+        cfg, {"MODEL": {"FC_DIM": 64, "COMPUTE_DTYPE": "float32"},
+              "TEST": {"SCALES": (64,), "MAX_SIZE": 96},
+              "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 512,
+                       "NUM_PROPOSALS": 50}})
+    net = build_az_net(small)
+    im = np.random.RandomState(1).randint(0, 255, (96, 128, 3), np.uint8)
+    props = im_propose(net, im)
+    assert props.shape[1] == 5 and 0 < props.shape[0] <= 50
