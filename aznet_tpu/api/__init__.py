@@ -42,9 +42,27 @@ class Net:
     model: Any
     params: Any
     cfg: Config
+    # Compiled programs are keyed on (kind, canvas[, r_pad]); pyramid
+    # canvases x r_pad buckets can multiply, so the cache is LRU-bounded
+    # (each VGG-16 propose executable holds ~0.3 GB of device constants).
+    jit_cache_size: int = 32
 
     def __post_init__(self):
-        self._jit_cache = {}
+        import collections
+
+        self._jit_cache = collections.OrderedDict()
+
+    def get_jit(self, key, build):
+        """LRU-cached ``jax.jit`` program for ``key``; ``build()`` makes it."""
+        cache = self._jit_cache
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
+        fn = build()
+        cache[key] = fn
+        while len(cache) > self.jit_cache_size:
+            cache.popitem(last=False)
+        return fn
 
 
 def build_az_net(cfg: Config, params=None, rng=None) -> Net:
@@ -166,19 +184,13 @@ def im_propose(net: Net, im: np.ndarray) -> np.ndarray:
                             cfg, TEST=dataclasses.replace(cfg.TEST, SCALES=(t,))))
             for t in cfg.TEST.SCALES
         )
-        key = ("propose_pyr", canvases)
-        if key not in net._jit_cache:
-            net._jit_cache[key] = jax.jit(
-                partial(_propose_core_pyramid, net.model, canvases=canvases, cfg=cfg)
-            )
+        fn = net.get_jit(("propose_pyr", canvases), lambda: jax.jit(
+            partial(_propose_core_pyramid, net.model, canvases=canvases, cfg=cfg)))
     else:
         canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
-        key = ("propose", canvas)
-        if key not in net._jit_cache:
-            net._jit_cache[key] = jax.jit(
-                partial(_propose_core, net.model, canvas_hw=canvas, cfg=cfg)
-            )
-    boxes, scores, valid = net._jit_cache[key](net.params, image=jnp.asarray(im))
+        fn = net.get_jit(("propose", canvas), lambda: jax.jit(
+            partial(_propose_core, net.model, canvas_hw=canvas, cfg=cfg)))
+    boxes, scores, valid = fn(net.params, image=jnp.asarray(im))
     n = int(np.asarray(valid).sum())
     out = np.concatenate(
         [np.asarray(boxes)[:n], np.asarray(scores)[:n, None]], axis=1
@@ -283,19 +295,13 @@ def im_detect(net: Net, im: np.ndarray, boxes: np.ndarray):
                             cfg, TEST=dataclasses.replace(cfg.TEST, SCALES=(t,))))
             for t in cfg.TEST.SCALES
         )
-        key = ("detect_pyr", canvases, r_pad)
-        if key not in net._jit_cache:
-            net._jit_cache[key] = jax.jit(
-                partial(_detect_core_pyramid, net.model, canvases=canvases, cfg=cfg)
-            )
+        fn = net.get_jit(("detect_pyr", canvases, r_pad), lambda: jax.jit(
+            partial(_detect_core_pyramid, net.model, canvases=canvases, cfg=cfg)))
     else:
         canvas = _canvas_for(im.shape[0], im.shape[1], cfg)
-        key = ("detect", canvas, r_pad)
-        if key not in net._jit_cache:
-            net._jit_cache[key] = jax.jit(
-                partial(_detect_core, net.model, canvas_hw=canvas, cfg=cfg)
-            )
-    scores, pred = net._jit_cache[key](
+        fn = net.get_jit(("detect", canvas, r_pad), lambda: jax.jit(
+            partial(_detect_core, net.model, canvas_hw=canvas, cfg=cfg)))
+    scores, pred = fn(
         net.params, image=jnp.asarray(im), boxes=jnp.asarray(padded)
     )
     return np.asarray(scores)[:r], np.asarray(pred)[:r]

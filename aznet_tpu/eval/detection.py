@@ -69,10 +69,8 @@ def propose_all_batched(net: Net, imdb, batch_size: int = 16,
         hp = rup(max(imdb.roidb[i]["height"] for i in idxs))
         wp = rup(max(imdb.roidb[i]["width"] for i in idxs))
         key = ("propose_batched", canvas, hp, wp, batch_size)
-        if key not in net._jit_cache:
-            net._jit_cache[key] = jax.jit(
-                make_propose_batch_padded(net.model, cfg, canvas))
-        fn = net._jit_cache[key]
+        fn = net.get_jit(key, lambda: jax.jit(
+            make_propose_batch_padded(net.model, cfg, canvas)))
         for start in range(0, len(idxs), batch_size):
             chunk = idxs[start : start + batch_size]
             ims = np.zeros((batch_size, hp, wp, 3), np.float32)

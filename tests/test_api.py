@@ -173,3 +173,16 @@ def test_propose_all_batched_one_program_per_canvas():
     for s, b in zip(single, batched):
         assert s.shape == b.shape
         np.testing.assert_allclose(s, b, atol=1e-4)
+
+
+def test_jit_cache_lru_eviction():
+    """Net's compiled-program cache is LRU-bounded (pyramid canvases x
+    r_pad buckets would otherwise grow without bound)."""
+    net = build_az_net(CFG)
+    net.jit_cache_size = 2
+    net.get_jit(("a",), lambda: "A")
+    net.get_jit(("b",), lambda: "B")
+    assert net.get_jit(("a",), lambda: "A2") == "A"  # hit refreshes
+    net.get_jit(("c",), lambda: "C")  # evicts b (LRU)
+    assert ("b",) not in net._jit_cache
+    assert ("a",) in net._jit_cache and ("c",) in net._jit_cache
