@@ -16,7 +16,7 @@ import numpy as np
 from aznet_tpu.config import Config
 from aznet_tpu.ops.preprocess import prep_im_for_blob, im_list_to_blob
 from aznet_tpu.utils.np_boxes import iou_np as _iou_np
-from aznet_tpu.search.templates import adjacency_templates
+from aznet_tpu.search.templates import adjacency_templates_np
 from aznet_tpu.train.labels import az_labels_for_regions, sample_az_regions
 
 
@@ -100,7 +100,7 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
 def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
     """AZ training batch from roidb entries (the AZ data layer's forward)."""
     blob, scales, gts = _prep_images(imdb, entries, cfg, rng, canvas)
-    templates = np.asarray(adjacency_templates(cfg.MODEL.NUM_TEMPLATES))
+    templates = adjacency_templates_np(cfg.MODEL.NUM_TEMPLATES)
     b = len(entries)
     r = cfg.TRAIN.REGIONS_PER_IMAGE
     k = cfg.MODEL.NUM_TEMPLATES

@@ -19,7 +19,7 @@ import numpy as np
 
 from aznet_tpu.config import SearchConfig
 from aznet_tpu.ops.nms import nms as greedy_nms
-from aznet_tpu.search.templates import adjacency_templates, division_table, NUM_DIVISIONS
+from aznet_tpu.search.templates import adjacency_templates_np, division_table, NUM_DIVISIONS
 
 
 def _sigmoid(x):
@@ -70,7 +70,7 @@ def az_search_oracle(
     NUM_PROPOSALS. ``capped=False`` removes the frontier/candidate caps
     (the "true" recursion).
     """
-    templates = np.asarray(adjacency_templates(num_templates))
+    templates = adjacency_templates_np(num_templates)
     im_h, im_w = float(im_hw[0]), float(im_hw[1])
     r_cap = scfg.FRONTIER_CAP if capped else None
     b_cap = scfg.CAND_BUF if capped else None

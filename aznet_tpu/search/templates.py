@@ -56,13 +56,21 @@ _DIVISIONS = np.array(
 NUM_DIVISIONS = len(_DIVISIONS)
 
 
-def adjacency_templates(k: int = 11) -> jnp.ndarray:
-    """The (K, 4) normalized template table."""
-    if k == len(_TEMPLATES_11):
-        return jnp.asarray(_TEMPLATES_11)
-    if k < len(_TEMPLATES_11):
-        return jnp.asarray(_TEMPLATES_11[:k])
+def adjacency_templates_np(k: int = 11) -> np.ndarray:
+    """The (K, 4) normalized template table as host NumPy.
+
+    Host-side consumers (label generation, minibatch prep) MUST use this
+    variant: the jnp one materializes on the accelerator, and fetching it
+    back per minibatch costs a device round-trip on remote backends.
+    """
+    if k <= len(_TEMPLATES_11):
+        return _TEMPLATES_11[:k]
     raise ValueError(f"no template table with K={k}")
+
+
+def adjacency_templates(k: int = 11) -> jnp.ndarray:
+    """The (K, 4) normalized template table (device array)."""
+    return jnp.asarray(adjacency_templates_np(k))
 
 
 def _apply_normalized(regions, table, offset: float):

@@ -173,10 +173,10 @@ def compute_bbox_target_stats(imdb, cfg, proposals_by_entry=None,
     placed into TRAIN.BBOX_NORMALIZE_MEANS/STDS.
     """
     rng = np.random.RandomState(cfg.RNG_SEED)
-    from aznet_tpu.search.templates import adjacency_templates
+    from aznet_tpu.search.templates import adjacency_templates_np
     from aznet_tpu.search.oracle import _apply_normalized_np
 
-    templates = np.asarray(adjacency_templates(cfg.MODEL.NUM_TEMPLATES))
+    templates = adjacency_templates_np(cfg.MODEL.NUM_TEMPLATES)
     all_targets = []
     n = min(imdb.num_images, max_images)
     for i in range(n):
