@@ -152,6 +152,10 @@ class ModelConfig:
     DROPOUT: float = 0.5
     # Compute dtype for conv/matmul ("bfloat16" rides the MXU; params stay f32).
     COMPUTE_DTYPE: str = "bfloat16"
+    # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
+    # one Pallas kernel on TPU. Same params/checkpoints; training paths must
+    # leave this off (the kernel has no VJP).
+    FUSE_CONV1: bool = False
 
 
 @dataclass(frozen=True)

@@ -25,6 +25,7 @@ def get_backbone(model_cfg: ModelConfig):
             f"unknown backbone {model_cfg.BACKBONE!r}; options: {sorted(_BACKBONES)}"
         ) from None
     dtype = jnp.bfloat16 if model_cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
-    if model_cfg.WIDTH != 1.0 and cls is VGG16Trunk:
-        return cls(dtype=dtype, width=model_cfg.WIDTH)
+    if cls is VGG16Trunk:
+        return cls(dtype=dtype, width=model_cfg.WIDTH,
+                   fuse_conv1=model_cfg.FUSE_CONV1)
     return cls(dtype=dtype)

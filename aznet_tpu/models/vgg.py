@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -37,6 +38,13 @@ class VGG16Trunk(nn.Module):
     # ImageNet (fast-rcnn lineage lr_mult=0). Opt in via
     # cfg.TRAIN.FREEZE_PREFIXES=("conv1", "conv2") — see train/optim.py.
 
+    # Inference-only: run conv1_1+ReLU+conv1_2+ReLU+pool1 as one fused
+    # Pallas kernel (ops/pallas/conv1_kernel.py) — the block's 62 MB/image
+    # activations otherwise make it the trunk's HBM-traffic hot spot.
+    # Identical parameters/checkpoints; differentiating through it raises
+    # (no VJP), so training keeps the XLA convolutions.
+    fuse_conv1: bool = False
+
     feat_stride: int = 16
 
     @property
@@ -46,7 +54,21 @@ class VGG16Trunk(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
-        for name, ch in VGG16_LAYOUT:
+        layout = VGG16_LAYOUT
+        if (self.fuse_conv1 and not self.is_initializing()
+                and x.shape[-3] % 32 == 0 and x.shape[-2] % 2 == 0
+                and jax.default_backend() == "tpu"):
+            from aznet_tpu.ops.pallas.conv1_kernel import fused_conv1_pool
+
+            p = self.variables["params"]
+            squeeze = x.ndim == 3
+            xb = x[None] if squeeze else x
+            xb = fused_conv1_pool(
+                xb, p["conv1_1"]["kernel"], p["conv1_1"]["bias"],
+                p["conv1_2"]["kernel"], p["conv1_2"]["bias"])
+            x = xb[0] if squeeze else xb
+            layout = VGG16_LAYOUT[3:]  # conv1_1, conv1_2, pool1 done
+        for name, ch in layout:
             if ch is None:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:

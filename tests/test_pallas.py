@@ -1,6 +1,7 @@
 """Pallas kernels vs host/pure-JAX oracles (interpreter mode on CPU)."""
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from aznet_tpu.ops.nms import nms
@@ -94,3 +95,28 @@ def test_roi_align_pallas_matches_reference():
                                       tile_r=8, interpret=True))
     want = np.asarray(roi_align(feat, jnp.asarray(rois), 1 / 16.0, 7))
     np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_fused_conv1_pool_matches_xla():
+    import flax.linen as nn
+    from aznet_tpu.ops.pallas.conv1_kernel import fused_conv1_pool
+
+    rng = np.random.RandomState(7)
+    B, H, W, C = 2, 64, 48, 16
+    x = jnp.asarray(rng.rand(B, H, W, 3).astype(np.float32))
+    w11 = jnp.asarray((rng.rand(3, 3, 3, C) - 0.5).astype(np.float32))
+    b11 = jnp.asarray(rng.rand(C).astype(np.float32) * 0.1)
+    w12 = jnp.asarray((rng.rand(3, 3, C, C) - 0.5).astype(np.float32) * 0.2)
+    b12 = jnp.asarray(rng.rand(C).astype(np.float32) * 0.1)
+
+    dn1 = jax.lax.conv_dimension_numbers(x.shape, w11.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.nn.relu(jax.lax.conv_general_dilated(
+        x, w11, (1, 1), "SAME", dimension_numbers=dn1) + b11)
+    dn2 = jax.lax.conv_dimension_numbers(y.shape, w12.shape, ("NHWC", "HWIO", "NHWC"))
+    y = jax.nn.relu(jax.lax.conv_general_dilated(
+        y, w12, (1, 1), "SAME", dimension_numbers=dn2) + b12)
+    ref = nn.max_pool(y, (2, 2), strides=(2, 2))
+
+    out = fused_conv1_pool(x, w11, b11, w12, b12, interpret=True)
+    assert out.shape == (B, H // 2, W // 2, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
