@@ -94,3 +94,24 @@ def load_npz(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
     data = np.load(path)
     names = sorted({k[:-2] for k in data.files if k.endswith("_W")})
     return {n: (data[f"{n}_W"], data[f"{n}_b"]) for n in names}
+
+
+def convert_npz_to_checkpoint(npz_path: str, out_dir: str,
+                              arch: str = "vgg16", pool: int = 7,
+                              channels: int = 512):
+    """End-to-end ingest: Caffe-export .npz -> orbax params checkpoint.
+
+    ``arch``: 'vgg16' (trunk only — ImageNet warm start), 'az' (trunk +
+    AZ head), or 'frcnn' (trunk + detection head). Head layers absent from
+    the npz are simply omitted (load with partial restore / warm start).
+    """
+    from aznet_tpu.utils.checkpoint import Checkpointer
+
+    caffe = load_npz(npz_path)
+    params: Dict = {"trunk": convert_vgg16_trunk(caffe)}
+    if arch == "az" and "fc6" in caffe:
+        params["head"] = convert_az_head(caffe, pool=pool, channels=channels)
+    elif arch == "frcnn" and "fc6" in caffe:
+        params["head"] = convert_frcnn_head(caffe, pool=pool, channels=channels)
+    Checkpointer(out_dir).save(0, {"params": {"params": params}})
+    return params

@@ -78,3 +78,25 @@ def test_demo_runs(tmp_path):
              + SMALL_SET)
     assert r.returncode == 0, r.stderr[-800:]
     assert "im_propose:" in r.stdout and "im_detect:" in r.stdout
+
+
+def test_ingest_data_status_and_voc(tmp_path):
+    r = _run(["tools/ingest_data.py", "status"], timeout=60)
+    assert r.returncode == 0 and "synthetic_*" in r.stdout
+
+    # Fabricated VOC layout: link + validate + roidb cache.
+    src = tmp_path / "VOCdevkit"
+    main = src / "VOC2007" / "ImageSets" / "Main"
+    ann = src / "VOC2007" / "Annotations"
+    img = src / "VOC2007" / "JPEGImages"
+    for d in (main, ann, img):
+        d.mkdir(parents=True)
+    (main / "trainval.txt").write_text("")  # empty split: layout-only check
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               AZNET_DATA_DIR=str(tmp_path / "root"))
+    r = subprocess.run(
+        [sys.executable, "tools/ingest_data.py", "voc", "--src", str(src),
+         "--year", "2007", "--splits", "trainval"],
+        cwd=REPO, env=env, timeout=120, capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-500:]
+    assert "linked:" in r.stdout and "0 images" in r.stdout
