@@ -50,10 +50,19 @@ def make_image_hard(rng: np.random.RandomState, h: int = 375, w: int = 500,
     The round-1 quality ceiling came partly from a too-easy 64-image set of
     1-4 large flat boxes. This generator plants 2..max_objects textured
     class rectangles down to ~14 px (small at the 600-scale), allows gt-gt
-    occlusion (later objects draw over earlier ones; all stay labeled, as in
-    real VOC crowding), and adds hard negatives the net must reject:
-    non-class-colored solid rectangles and class-colored OUTLINES (right hue,
-    wrong fill). Returns (image HWC BGR uint8, boxes [G,4] f32, classes [G]).
+    occlusion (later objects draw over earlier ones), and adds hard
+    negatives the net must reject: non-class-colored solid rectangles and
+    class-colored OUTLINES (right hue, wrong fill).
+
+    Objects whose visible fraction drops below 0.5 (drawn over by later
+    objects) are marked ``difficult`` — the VOC protocol for such gt:
+    excluded from recall denominators and neither counted nor penalized in
+    AP, and excluded from training labels (data/minibatch.py). Expecting
+    recall on mostly-invisible rectangles would make the benchmark measure
+    the generator, not the model.
+
+    Returns (image HWC BGR uint8, boxes [G,4] f32, classes [G] i32,
+    difficult [G] bool).
     """
     im = rng.randint(0, 80, (h, w, 3)).astype(np.uint8)
 
@@ -77,7 +86,8 @@ def make_image_hard(rng: np.random.RandomState, h: int = 375, w: int = 500,
 
     n = rng.randint(2, max_objects + 1)
     boxes, classes = [], []
-    for _ in range(n):
+    owner = np.full((h, w), -1, np.int32)  # topmost painter per pixel
+    for j in range(n):
         # Log-uniform sizes: half the objects land below ~40 px.
         lo, hi = np.log(14), np.log(min(h, w) // 2)
         bw = int(np.exp(rng.uniform(lo, hi)))
@@ -89,9 +99,16 @@ def make_image_hard(rng: np.random.RandomState, h: int = 375, w: int = 500,
         patch = np.clip(
             color[None, None] + rng.randint(-30, 30, (bh, bw, 3)), 0, 255)
         im[y1:y1 + bh, x1:x1 + bw] = patch.astype(np.uint8)
+        owner[y1:y1 + bh, x1:x1 + bw] = j
         boxes.append([x1, y1, x1 + bw - 1, y1 + bh - 1])
         classes.append(cls)
-    return im, np.asarray(boxes, np.float32), np.asarray(classes, np.int32)
+    boxes_a = np.asarray(boxes, np.float32)
+    difficult = np.zeros(n, bool)
+    for j in range(n):
+        x1, y1, x2, y2 = boxes_a[j].astype(int)
+        vis = (owner[y1:y2 + 1, x1:x2 + 1] == j).mean()
+        difficult[j] = vis < 0.5
+    return im, boxes_a, np.asarray(classes, np.int32), difficult
 
 
 class SyntheticImdb(Imdb):
@@ -109,11 +126,15 @@ class SyntheticImdb(Imdb):
         return self._n
 
     def gt_roidb(self):
-        gen = make_image_hard if self.hard else make_image
         roidb = []
         for i in range(self._n):
             rng = np.random.RandomState(self.seed * 100003 + i)
-            im, boxes, classes = gen(rng, *self.image_hw)
+            if self.hard:
+                im, boxes, classes, difficult = make_image_hard(
+                    rng, *self.image_hw)
+            else:
+                im, boxes, classes = make_image(rng, *self.image_hw)
+                difficult = np.zeros(len(classes), bool)
             roidb.append(
                 {
                     "image": im,
@@ -121,6 +142,7 @@ class SyntheticImdb(Imdb):
                     "width": im.shape[1],
                     "boxes": boxes,
                     "gt_classes": classes,
+                    "difficult": difficult,
                     "flipped": False,
                 }
             )
