@@ -79,7 +79,16 @@ def _build(preset: str):
         raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
         canvas = (608, 800)
     net = build_az_net(cfg)
-    fn = make_propose_batch(net.model, cfg, canvas)
+    if len(jax.devices()) > 1:
+        # Multi-chip: shard the batch over the 'data' mesh axis (the
+        # parallel/inference.py path; per-chip batch stays the batch knob).
+        from aznet_tpu.parallel.mesh import make_mesh
+        from aznet_tpu.parallel.inference import make_sharded_propose
+
+        mesh = make_mesh(len(jax.devices()), model_parallel=1)
+        fn = make_sharded_propose(net.model, cfg, canvas, mesh)
+    else:
+        fn = make_propose_batch(net.model, cfg, canvas)
     return net, fn, raw_hw
 
 
@@ -129,13 +138,13 @@ def main():
     if os.environ.get("AZNET_BENCH_BATCH"):
         batches = [int(os.environ["AZNET_BENCH_BATCH"])]
     elif preset == "smoke":
-        batches = [2]
+        batches = [2 * n_dev]
     elif preset == "coco_deep":
-        batches = [16]
+        batches = [16 * n_dev]
     elif preset == "resnet50_1080p":
-        batches = [4]  # 1088x1920 activations: small per-chip batch
+        batches = [4 * n_dev]  # 1088x1920 activations: small per-chip batch
     else:
-        batches = [16, 32]
+        batches = [16 * n_dev, 32 * n_dev]  # global batch; B shards over 'data'
 
     best = 0.0
     for b in batches:
