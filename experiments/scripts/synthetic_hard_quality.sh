@@ -1,0 +1,26 @@
+#!/usr/bin/env bash
+# Round-2 quality bar on the hard synthetic benchmark (512 VOC-sized train
+# images, small/overlapping objects, distractor hard negatives): width-0.25
+# VGG-16 at the reference 600-px scale, full chain on the TPU
+# (train AZ -> cache proposals -> train FRCNN -> recall -> mAP).
+# Usage: ./experiments/scripts/synthetic_hard_quality.sh [AZ_ITERS] [FRCNN_ITERS] [OUT]
+set -euo pipefail
+cd "$(dirname "$0")/../.."
+LOG="experiments/logs/synthetic_hard_$(date +%Y%m%d_%H%M%S).log"
+exec &> >(tee "$LOG")
+CFG=experiments/cfgs/az_vgg_w25_synthetic_hard.yml
+AZ_ITERS=${1:-8000}
+FRCNN_ITERS=${2:-6000}
+OUT=${3:-output/quality_r2}
+
+python tools/train_net.py --net az --imdb synthetic_hard_train --cfg $CFG \
+    --iters "$AZ_ITERS" --output "$OUT/az"
+python tools/propose_net.py --imdb synthetic_hard_train --cfg $CFG \
+    --ckpt "$OUT/az" --batched --out "$OUT/proposals_train.pkl"
+python tools/train_net.py --net frcnn --imdb synthetic_hard_train --cfg $CFG \
+    --iters "$FRCNN_ITERS" --output "$OUT/frcnn" \
+    --proposals "$OUT/proposals_train.pkl"
+python tools/test_net.py --mode recall --imdb synthetic_hard_test --cfg $CFG \
+    --ckpt "$OUT/az" --batched
+python tools/test_net.py --mode detect --imdb synthetic_hard_test --cfg $CFG \
+    --ckpt "$OUT/az" --frcnn-ckpt "$OUT/frcnn" --output "$OUT/eval"

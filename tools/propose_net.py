@@ -22,6 +22,9 @@ def main():
     p.add_argument("--ckpt", default=None)
     p.add_argument("--out", default="output/proposals.pkl")
     p.add_argument("--max-images", type=int, default=None)
+    p.add_argument("--batched", action="store_true",
+                   help="batched on-device propose (canvas-bucketed; faster)")
+    p.add_argument("--batch-size", type=int, default=16)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args()
     if args.cpu:
@@ -32,7 +35,7 @@ def main():
     from aznet_tpu.config import Config, cfg_from_file, cfg_from_list
     from aznet_tpu.api import build_az_net
     from aznet_tpu.data.imdb import get_imdb
-    from aznet_tpu.eval.detection import propose_all
+    from aznet_tpu.eval.detection import propose_all, propose_all_batched
     from aznet_tpu.utils.checkpoint import Checkpointer
 
     cfg = Config()
@@ -50,7 +53,11 @@ def main():
         net.params = restored["params"]
         print(f"restored step {step} from {path}")
     imdb = get_imdb(args.imdb)
-    props = propose_all(net, imdb, max_images=args.max_images, verbose=True)
+    if args.batched:
+        props = propose_all_batched(net, imdb, batch_size=args.batch_size,
+                                    max_images=args.max_images, verbose=True)
+    else:
+        props = propose_all(net, imdb, max_images=args.max_images, verbose=True)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     with open(args.out, "wb") as f:
         pickle.dump(props, f)
