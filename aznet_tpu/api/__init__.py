@@ -219,12 +219,18 @@ def share_trunk(dst_net: Net, src_net: Net) -> Net:
 # ---------------------------------------------------------------------------
 
 
-def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw):
-    """Raw image + proposal boxes (original coords) -> (scores, pred_boxes)."""
+def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw,
+                 src_hw=None, scale=None):
+    """Raw image + proposal boxes (original coords) -> (scores, pred_boxes).
+
+    ``src_hw``/``scale``: dynamic true extents + host-computed scale when
+    ``image`` is zero-padded to a static raw shape (batched bucketed path).
+    """
     params = _cast_inference_params(params, cfg)
     blob, im_scale, (vh, vw) = preprocess_image(
         image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
         canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
+        src_hw=src_hw, scale=scale,
     )
     feat = model.apply(params, blob[None], method="features")[0]
     # Project rois to the scaled image (reference _project_im_rois).
@@ -233,8 +239,12 @@ def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw):
     scores = jax.nn.softmax(out["cls_score"], axis=-1)
     # Decode against ORIGINAL-coordinate boxes, as the reference does.
     pred = bbox_transform_inv(boxes, out["bbox_pred"], cfg.BOX_OFFSET)
-    h0 = jnp.asarray(image.shape[0], jnp.float32)
-    w0 = jnp.asarray(image.shape[1], jnp.float32)
+    if src_hw is None:
+        h0 = jnp.asarray(image.shape[0], jnp.float32)
+        w0 = jnp.asarray(image.shape[1], jnp.float32)
+    else:
+        h0 = jnp.asarray(src_hw[0], jnp.float32)
+        w0 = jnp.asarray(src_hw[1], jnp.float32)
     pred = clip_boxes(pred, (h0, w0), cfg.BOX_OFFSET)
     return scores, pred
 
@@ -353,5 +363,21 @@ def make_detect_batch(model, cfg: Config, canvas_hw):
             return _detect_core(model, params, cfg, image, b, canvas_hw)
 
         return jax.vmap(one)(images, boxes)
+
+    return fn
+
+
+def make_detect_batch_padded(model, cfg: Config, canvas_hw):
+    """Batched detect over ZERO-PADDED raw images: ``(params,
+    images [B,Hp,Wp,3], src_hw [B,2], scales [B], boxes [B,R,4]) ->
+    (scores, pred_boxes)`` — one compiled program per canvas bucket (the
+    batched-eval analogue of make_propose_batch_padded)."""
+
+    def fn(params, images, src_hw, scales, boxes):
+        def one(image, hw, s, b):
+            return _detect_core(model, params, cfg, image, b, canvas_hw,
+                                src_hw=hw, scale=s)
+
+        return jax.vmap(one)(images, src_hw, scales, boxes)
 
     return fn

@@ -152,25 +152,109 @@ def detect_all(az_net: Net, frcnn_net: Net, imdb,
         if dets.shape[0] == 0:
             continue
         scores, boxes = im_detect(frcnn_net, im, dets[:, :4])
-        for c in range(1, num_classes):
-            keep = scores[:, c] > cfg.TEST.SCORE_THRESH
-            cls_dets = np.concatenate(
-                [boxes[keep, 4 * c : 4 * c + 4], scores[keep, c : c + 1]], axis=1
-            ).astype(np.float32)
-            if cls_dets.shape[0]:
-                cls_dets = cls_dets[nms(cls_dets, cfg.TEST.NMS,
-                                        offset=cfg.BOX_OFFSET)]
-            all_boxes[c][i] = cls_dets
-        # Global per-image cap (reference max_per_image logic).
-        if max_per_image > 0:
-            all_scores = np.concatenate(
-                [all_boxes[c][i][:, 4] for c in range(1, num_classes)]
-            )
-            if all_scores.shape[0] > max_per_image:
-                thresh = np.sort(all_scores)[-max_per_image]
-                for c in range(1, num_classes):
-                    keep = all_boxes[c][i][:, 4] >= thresh
-                    all_boxes[c][i] = all_boxes[c][i][keep]
+        _store_image_dets(all_boxes, i, scores, boxes, cfg, num_classes,
+                          max_per_image)
+    if cache_file:
+        os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
+        with open(cache_file, "wb") as f:
+            pickle.dump(all_boxes, f)
+    return all_boxes
+
+
+def _store_image_dets(all_boxes, i, scores, boxes, cfg, num_classes,
+                      max_per_image):
+    """Per-class threshold + NMS + per-image cap (reference test-loop tail)."""
+    for c in range(1, num_classes):
+        keep = scores[:, c] > cfg.TEST.SCORE_THRESH
+        cls_dets = np.concatenate(
+            [boxes[keep, 4 * c : 4 * c + 4], scores[keep, c : c + 1]], axis=1
+        ).astype(np.float32)
+        if cls_dets.shape[0]:
+            cls_dets = cls_dets[nms(cls_dets, cfg.TEST.NMS,
+                                    offset=cfg.BOX_OFFSET)]
+        all_boxes[c][i] = cls_dets
+    # Global per-image cap (reference max_per_image logic).
+    if max_per_image > 0:
+        all_scores = np.concatenate(
+            [all_boxes[c][i][:, 4] for c in range(1, num_classes)]
+        )
+        if all_scores.shape[0] > max_per_image:
+            thresh = np.sort(all_scores)[-max_per_image]
+            for c in range(1, num_classes):
+                keep = all_boxes[c][i][:, 4] >= thresh
+                all_boxes[c][i] = all_boxes[c][i][keep]
+
+
+def detect_all_batched(az_net: Net, frcnn_net: Net, imdb,
+                       batch_size: int = 16,
+                       max_images: Optional[int] = None,
+                       max_per_image: Optional[int] = None,
+                       cache_file: Optional[str] = None,
+                       verbose: bool = False):
+    """Batched full pipeline: batched AZ propose -> batched FRCNN detect.
+
+    Same ``all_boxes`` semantics as :func:`detect_all`, but images are
+    canvas-bucketed and zero-padded so each bucket compiles once and every
+    device call carries a full batch — the per-image loop pays a host
+    round-trip per image, which dominates on remote backends.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.api import make_detect_batch_padded, _canvas_for
+    from aznet_tpu.ops.preprocess import compute_scale
+
+    cfg = frcnn_net.cfg
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    max_per_image = max_per_image or cfg.TEST.MAX_PER_IMAGE
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(n)]
+                 for _ in range(num_classes)]
+
+    proposals = propose_all_batched(az_net, imdb, batch_size=batch_size,
+                                    max_images=n, verbose=verbose)
+    r_pad = max(int(az_net.cfg.SEAR.NUM_PROPOSALS), 1)
+
+    rup = lambda v, m=32: int(-(-v // m) * m)
+    buckets: dict = {}
+    for i in range(n):
+        e = imdb.roidb[i]
+        buckets.setdefault(_canvas_for(e["height"], e["width"], cfg), []).append(i)
+    for canvas, idxs in buckets.items():
+        hp = rup(max(imdb.roidb[i]["height"] for i in idxs))
+        wp = rup(max(imdb.roidb[i]["width"] for i in idxs))
+        key = ("detect_batched", canvas, hp, wp, batch_size, r_pad)
+        fn = frcnn_net.get_jit(key, lambda: jax.jit(
+            make_detect_batch_padded(frcnn_net.model, cfg, canvas)))
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            ims = np.zeros((batch_size, hp, wp, 3), np.float32)
+            src_hw = np.zeros((batch_size, 2), np.float32)
+            scales = np.ones((batch_size,), np.float32)
+            boxes_in = np.zeros((batch_size, r_pad, 4), np.float32)
+            n_props = np.zeros(batch_size, np.int32)
+            for j, i in enumerate(chunk):
+                im = imdb.image_array(imdb.roidb[i])
+                ims[j, : im.shape[0], : im.shape[1]] = im
+                src_hw[j] = (im.shape[0], im.shape[1])
+                scales[j] = compute_scale(im.shape[0], im.shape[1],
+                                          cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE)
+                p = proposals[i][:r_pad, :4]
+                boxes_in[j, : p.shape[0]] = p
+                n_props[j] = p.shape[0]
+            if len(chunk) < batch_size:
+                src_hw[len(chunk):] = src_hw[len(chunk) - 1]
+                scales[len(chunk):] = scales[len(chunk) - 1]
+            scores, pred = fn(frcnn_net.params, jnp.asarray(ims),
+                              jnp.asarray(src_hw), jnp.asarray(scales),
+                              jnp.asarray(boxes_in))
+            scores, pred = np.asarray(scores), np.asarray(pred)
+            for j, i in enumerate(chunk):
+                k = int(n_props[j])
+                if k == 0:
+                    continue
+                _store_image_dets(all_boxes, i, scores[j][:k], pred[j][:k],
+                                  cfg, num_classes, max_per_image)
     if cache_file:
         os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
         with open(cache_file, "wb") as f:

@@ -186,3 +186,21 @@ def test_jit_cache_lru_eviction():
     net.get_jit(("c",), lambda: "C")  # evicts b (LRU)
     assert ("b",) not in net._jit_cache
     assert ("a",) in net._jit_cache and ("c",) in net._jit_cache
+
+
+def test_detect_all_batched_matches_single():
+    """Batched end-to-end detection == per-image path (same all_boxes)."""
+    from aznet_tpu.data.imdb import get_imdb
+    from aznet_tpu.eval.detection import detect_all, detect_all_batched
+
+    az = build_az_net(CFG)
+    fr = build_frcnn_net(CFG)
+    imdb = get_imdb("synthetic_val")
+    single = detect_all(az, fr, imdb, max_images=3)
+    batched = detect_all_batched(az, fr, imdb, max_images=3, batch_size=2)
+    for c in range(1, 4):
+        for i in range(3):
+            a, b = single[c][i], batched[c][i]
+            assert a.shape == b.shape, (c, i, a.shape, b.shape)
+            if a.size:
+                np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)

@@ -27,7 +27,7 @@ def parse_args():
     p.add_argument("--frcnn-ckpt", default=None, help="FRCNN checkpoint dir")
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batched", action="store_true",
-                   help="recall mode: batched on-device propose (faster)")
+                   help="batched on-device propose/detect (canvas-bucketed; faster)")
     p.add_argument("--output", default="output/eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -80,12 +80,13 @@ def main():
         print(json.dumps({str(k): {str(t): round(v, 4) for t, v in row.items()}
                           for k, row in table.items()}, indent=2))
     else:
-        from aznet_tpu.eval.detection import detect_all
+        from aznet_tpu.eval.detection import detect_all, detect_all_batched
 
         frcnn_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
-        all_boxes = detect_all(az_net, frcnn_net, imdb,
-                               max_images=args.max_images,
-                               cache_file=os.path.join(args.output, "detections.pkl"))
+        runner = detect_all_batched if args.batched else detect_all
+        all_boxes = runner(az_net, frcnn_net, imdb,
+                           max_images=args.max_images,
+                           cache_file=os.path.join(args.output, "detections.pkl"))
         n = args.max_images or imdb.num_images
         # Prefer the imdb's own protocol (VOC<=2009 selects the 11-point
         # metric, writes results files — the reference flow); fall back to
