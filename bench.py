@@ -169,8 +169,12 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(vs, 4),
     }
-    if preset == "full":
-        nms_rate = _bench_nms_secondary()
+    if preset == "full" and os.environ.get("AZNET_BENCH_NMS", "1") != "0":
+        try:
+            nms_rate = _bench_nms_secondary()
+        except Exception as e:  # never lose the primary metric to this
+            print(f"# nms secondary failed: {type(e).__name__}", flush=True)
+            nms_rate = None
         if nms_rate is not None:
             out["nms_mboxes_per_sec"] = nms_rate
     print(json.dumps(out))
@@ -195,15 +199,22 @@ def _bench_nms_secondary():
     wh = rng.uniform(5, 300, (n, 2)).astype(np.float32)
     b = jnp.asarray(np.concatenate([xy, xy + wh], 1))
     s = jnp.asarray(rng.permutation(n).astype(np.float32) / n)
-    f = jax.jit(lambda b, s: nms_pallas(b, s, 0.5))
-    for _ in range(2):
-        float(jnp.sum(f(b, s).astype(jnp.float32)))
-    reps = 10
+    reps = 4
+
+    @jax.jit
+    def pipe(b, s):
+        # Scan the reps inside one program: per-call dispatch latency on a
+        # remote backend otherwise dominates a ~4 ms kernel.
+        def step(c, _):
+            keep = nms_pallas(b, s + c * 1e-9, 0.5)
+            return c + jnp.sum(keep.astype(jnp.float32)) * 1e-20, None
+        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+        return acc
+
+    float(pipe(b, s))
+    float(pipe(b, s))
     t0 = time.perf_counter()
-    acc = jnp.float32(0)
-    for _ in range(reps):
-        acc = acc + jnp.sum(f(b, s).astype(jnp.float32))
-    float(acc)
+    float(pipe(b, s))
     dt = (time.perf_counter() - t0) / reps
     return round(n / dt / 1e6, 2)
 
