@@ -48,18 +48,18 @@ class COCOImdb(Imdb):
         cat_to_cls = {c["id"]: i + 1 for i, c in enumerate(cats)}
         anns_by_img: dict = {}
         for a in data["annotations"]:
-            if a.get("iscrowd"):
-                continue
             anns_by_img.setdefault(a["image_id"], []).append(a)
         entries = []
         for img in data["images"]:
             anns = anns_by_img.get(img["id"], [])
             boxes = np.zeros((len(anns), 4), np.float32)
             classes = np.zeros((len(anns),), np.int32)
+            crowd = np.zeros((len(anns),), bool)
             for i, a in enumerate(anns):
                 x, y, w, h = a["bbox"]  # COCO xywh, continuous coords
                 boxes[i] = [x, y, x + max(w - 1, 0), y + max(h - 1, 0)]
                 classes[i] = cat_to_cls[a["category_id"]]
+                crowd[i] = bool(a.get("iscrowd"))
             entries.append(
                 {
                     "image": os.path.join(coco_root(), self.split, img["file_name"]),
@@ -68,6 +68,12 @@ class COCOImdb(Imdb):
                     "width": img["width"],
                     "boxes": boxes,
                     "gt_classes": classes,
+                    # COCO protocol: crowds are IGNORE regions — they absorb
+                    # detections in eval (coco_eval) without TP/FP counting
+                    # and are excluded from training labels / recall
+                    # denominators, which the framework keys off "difficult".
+                    "crowd": crowd,
+                    "difficult": crowd.copy(),
                     "flipped": False,
                 }
             )

@@ -36,7 +36,13 @@ def fixed_canvas(imdb, cfg: Config):
 
 
 def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
-    """Scale + mean-subtract each image; returns (blob, scales, scaled gts).
+    """Scale + mean-subtract each image; returns
+    (blob, scales, scaled gt boxes, gt classes).
+
+    The gt boxes AND classes are filtered in lockstep to drop difficult
+    objects (VOC protocol): a caller that indexes classes with argmax indices
+    computed against the filtered boxes would otherwise read the wrong class
+    whenever an image has a difficult object (the round-2 FRCNN label bug).
 
     Uses the C++ fused prep (csrc: multithreaded resize+mean-subtract+pad
     straight into the canvas) when built and a fixed canvas is given; NumPy
@@ -45,7 +51,7 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
     from aznet_tpu.ops.preprocess import compute_scale
     from aznet_tpu.utils import native
 
-    scales, gts, raws = [], [], []
+    scales, gts, gt_cls, raws = [], [], [], []
     for entry in entries:
         im = imdb.image_array(entry)
         target = cfg.TRAIN.SCALES[rng.randint(len(cfg.TRAIN.SCALES))]
@@ -53,12 +59,15 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
         raws.append(im)
         scales.append(scale)
         boxes = entry["boxes"]
+        classes = entry["gt_classes"]
         diff = entry.get("difficult")
         if diff is not None and diff.any():
             # Difficult gt stay in the roidb for eval but are excluded from
             # training labels, per the VOC protocol / reference config.
             boxes = boxes[~diff]
+            classes = classes[~diff]
         gts.append(boxes * scale)
+        gt_cls.append(classes)
 
     if canvas is not None and native.available() and all(
         r.dtype == np.uint8 for r in raws
@@ -67,7 +76,7 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
             native.prep_blob(r, canvas[0], canvas[1], s, cfg.PIXEL_MEANS)
             for r, s in zip(raws, scales)
         ])
-        return blob, scales, gts
+        return blob, scales, gts, gt_cls
 
     from aznet_tpu.ops.preprocess import _resize_bilinear_np
 
@@ -94,12 +103,12 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
         padded = np.zeros((blob.shape[0], h, w, 3), np.float32)
         padded[:, : blob.shape[1], : blob.shape[2]] = blob
         blob = padded
-    return blob, scales, gts
+    return blob, scales, gts, gt_cls
 
 
 def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
     """AZ training batch from roidb entries (the AZ data layer's forward)."""
-    blob, scales, gts = _prep_images(imdb, entries, cfg, rng, canvas)
+    blob, scales, gts, _ = _prep_images(imdb, entries, cfg, rng, canvas)
     templates = adjacency_templates_np(cfg.MODEL.NUM_TEMPLATES)
     b = len(entries)
     r = cfg.TRAIN.REGIONS_PER_IMAGE
@@ -185,7 +194,7 @@ def _sample_rois(proposals, gt_boxes, gt_classes, cfg: Config, rng):
 def get_frcnn_minibatch(imdb, entries: List[dict], proposals_by_entry: List[np.ndarray],
                         cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
     """Fast R-CNN training batch (reference ``get_minibatch``)."""
-    blob, scales, gts = _prep_images(imdb, entries, cfg, rng, canvas)
+    blob, scales, gts, gt_cls = _prep_images(imdb, entries, cfg, rng, canvas)
     b = len(entries)
     r = cfg.TRAIN.BATCH_SIZE // cfg.TRAIN.IMS_PER_BATCH
     nc = cfg.MODEL.NUM_CLASSES
@@ -200,7 +209,7 @@ def get_frcnn_minibatch(imdb, entries: List[dict], proposals_by_entry: List[np.n
     for i, entry in enumerate(entries):
         props = proposals_by_entry[i][:, :4] * scales[i]
         rois, labels, targets, inside = _sample_rois(
-            props, gts[i], entry["gt_classes"], cfg, rng
+            props, gts[i], gt_cls[i], cfg, rng
         )
         n = rois.shape[0]
         batch["rois"][i, :n] = rois

@@ -8,8 +8,13 @@ re-derived here in pure NumPy — no pycocotools dependency:
   - IoU thresholds 0.50:0.05:0.95 (10), recall grid 0:0.01:1 (101 points)
   - per (class, image): greedy matching in detection-score order; each
     detection takes the not-yet-matched gt with the highest IoU >= t
-  - ignored gts (outside the area range) absorb matches without counting;
-    unmatched detections outside the area range are ignored, not FPs
+  - ignored gts (crowds, or outside the area range) absorb matches without
+    counting; unmatched detections outside the area range are ignored, not
+    FPs; a taken non-crowd gt is skipped (even if ignored), while a crowd
+    gt stays matchable and can absorb any number of detections
+  - crowd IoU uses the pycocotools convention: union = detection area
+    (intersection-over-detection), since a crowd box is a region, not an
+    instance
   - precision is made monotonically non-increasing from the right, then
     sampled at the recall grid; AP = mean over classes (with gt) and IoUs
   - AR@K = mean over classes/IoUs of max recall with <= K dets per image
@@ -36,8 +41,9 @@ AREA_RANGES = {
 }
 
 
-def _iou_matrix(dets: np.ndarray, gts: np.ndarray, offset: float) -> np.ndarray:
-    """[D, G] IoU (no crowd handling — crowds are dropped at parse)."""
+def _iou_matrix(dets: np.ndarray, gts: np.ndarray, crowd: np.ndarray,
+                offset: float) -> np.ndarray:
+    """[D, G] IoU; for crowd gt columns, union = det area (pycocotools)."""
     if dets.size == 0 or gts.size == 0:
         return np.zeros((dets.shape[0], gts.shape[0]))
     iw = (np.minimum(dets[:, None, 2], gts[None, :, 2])
@@ -49,33 +55,47 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray, offset: float) -> np.ndarray:
               * (dets[:, 3] - dets[:, 1] + offset))[:, None]
     area_g = ((gts[:, 2] - gts[:, 0] + offset)
               * (gts[:, 3] - gts[:, 1] + offset))[None, :]
-    union = area_d + area_g - inter
+    union = np.where(crowd[None, :], area_d, area_d + area_g - inter)
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(dets, gts, gt_ignore, iou_thrs, offset):
+def _match_image(ious, gt_ignore, crowd, iou_thrs):
     """pycocotools ``evaluateImg`` for one (class, image, area-range).
 
-    dets: [D, 5] score-sorted desc. Returns (dt_match [T, D] bool,
-    dt_ignore [T, D] bool) per IoU threshold.
+    ious: [D, G] with detections score-sorted desc and gts sorted
+    ignored-last (the same ordering as ``gt_ignore``/``crowd``). Returns
+    (dt_match [T, D] bool, dt_ignore [T, D] bool) per IoU threshold.
+
+    Semantics mirrored from pycocotools: a taken non-crowd gt is skipped
+    (crowds stay matchable forever); a detection prefers the best-IoU
+    non-ignored gt, falling back to ignored gts only when no non-ignored
+    one clears the threshold; score ties resolve to the LAST qualifying gt
+    in scan order (pycocotools updates on ``iou >= best``).
     """
-    ious = _iou_matrix(dets[:, :4], gts, offset)
-    n_t, n_d, n_g = len(iou_thrs), dets.shape[0], gts.shape[0]
+    n_t = len(iou_thrs)
+    n_d, n_g = ious.shape
     dtm = np.zeros((n_t, n_d), bool)
     dtig = np.zeros((n_t, n_d), bool)
+    if n_d == 0 or n_g == 0:
+        return dtm, dtig
+    not_ig = ~gt_ignore
+
+    def _pick(row, mask, thr):
+        """Last index of the max of row[mask] if it clears thr, else -1."""
+        cand = np.where(mask, row, -1.0)
+        best = cand.max()
+        if best < thr:
+            return -1
+        return n_g - 1 - int(np.argmax(cand[::-1] == best))
+
     for ti, t in enumerate(iou_thrs):
+        thr = min(t, 1.0 - 1e-10)
         gtaken = np.zeros(n_g, bool)
         for d in range(n_d):
-            best, best_iou = -1, min(t, 1.0 - 1e-10)
-            for g in range(n_g):
-                if gtaken[g] and not gt_ignore[g]:
-                    continue
-                # prefer any non-ignored match over an ignored one
-                if best > -1 and not gt_ignore[best] and gt_ignore[g]:
-                    break  # gts are sorted ignored-last; nothing better left
-                if ious[d, g] >= best_iou:
-                    best_iou = ious[d, g]
-                    best = g
+            avail = ~gtaken | crowd
+            best = _pick(ious[d], avail & not_ig, thr)
+            if best < 0:
+                best = _pick(ious[d], avail & gt_ignore, thr)
             if best >= 0:
                 gtaken[best] = True
                 dtm[ti, d] = True
@@ -106,30 +126,39 @@ def coco_eval(all_boxes, roidb: List[dict], num_classes: int,
     ar_by_k = {k: [] for k in max_dets}
 
     for c in range(1, num_classes):
-        # Gather per-image gt and detections for this class.
-        gt_img, det_img = [], []
+        # Gather per-image gt/crowd flags/detections for this class and
+        # compute the IoU matrix ONCE per (class, image); the area-range
+        # loop below only reorders its columns (ignored-last) per range.
+        gt_img, crowd_img, det_img, iou_img = [], [], [], []
         for i in range(n_img):
             m = roidb[i]["gt_classes"] == c
             gts = roidb[i]["boxes"][m].astype(np.float64)
+            cr = roidb[i].get("crowd")
+            cr = (np.asarray(cr, bool)[m] if cr is not None
+                  else np.zeros(gts.shape[0], bool))
             dets = np.asarray(all_boxes[c][i], np.float64).reshape(-1, 5)
             order = np.argsort(-dets[:, 4], kind="stable")[:top_k]
+            dets = dets[order]
             gt_img.append(gts)
-            det_img.append(dets[order])
-        n_gt_all = int(sum(g.shape[0] for g in gt_img))
+            crowd_img.append(cr)
+            det_img.append(dets)
+            iou_img.append(_iou_matrix(dets[:, :4], gts, cr, offset))
 
         for rng_name, (amin, amax) in AREA_RANGES.items():
             # Match every image at every IoU threshold for this range.
             per_img = []
             npos = 0
             for i in range(n_img):
-                gts, dets = gt_img[i], det_img[i]
+                gts, dets, crowd = gt_img[i], det_img[i], crowd_img[i]
                 g_area = ((gts[:, 2] - gts[:, 0] + offset)
                           * (gts[:, 3] - gts[:, 1] + offset))
-                g_ig = (g_area < amin) | (g_area > amax)
+                # Crowds are ignore regions at EVERY area range.
+                g_ig = crowd | (g_area < amin) | (g_area > amax)
                 ord_g = np.argsort(g_ig, kind="stable")  # ignored last
-                gts, g_ig = gts[ord_g], g_ig[ord_g]
+                g_ig, crowd_s = g_ig[ord_g], crowd[ord_g]
                 npos += int((~g_ig).sum())
-                dtm, dtig = _match_image(dets, gts, g_ig, iou_thrs, offset)
+                dtm, dtig = _match_image(
+                    iou_img[i][:, ord_g], g_ig, crowd_s, iou_thrs)
                 d_area = ((dets[:, 2] - dets[:, 0] + offset)
                           * (dets[:, 3] - dets[:, 1] + offset))
                 out_rng = (d_area < amin) | (d_area > amax)

@@ -45,8 +45,19 @@ def process_local_indices(n_entries: int):
 
 
 def local_batch_size(global_ims: int) -> int:
-    """Per-process slice of the global IMS_PER_BATCH (>= 1)."""
-    return max(global_ims // jax.process_count(), 1)
+    """Per-process slice of the global IMS_PER_BATCH.
+
+    A non-divisible config would otherwise silently train with a different
+    global batch than requested (and could fail to divide the 'data' mesh
+    axis downstream), so it is an error, not a floor.
+    """
+    n = jax.process_count()
+    if global_ims % n:
+        raise ValueError(
+            f"TRAIN.IMS_PER_BATCH={global_ims} must be divisible by the "
+            f"jax process count ({n}); the global batch is assembled from "
+            f"equal per-process shards.")
+    return global_ims // n
 
 
 def make_global_batch(batch: dict, mesh) -> dict:

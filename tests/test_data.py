@@ -151,6 +151,46 @@ def test_frcnn_minibatch_sampling():
         assert row[4 * cls : 4 * cls + 4].sum() == 4.0
 
 
+def test_frcnn_labels_with_difficult_gt():
+    """Regression: difficult gt must be filtered from BOTH boxes and classes.
+
+    Round-2 bug: `_prep_images` dropped difficult boxes but
+    `get_frcnn_minibatch` passed the unfiltered `gt_classes` into
+    `_sample_rois`, whose argmax indices are relative to the filtered box
+    array — so any image with a difficult object trained on wrong labels.
+    """
+    imdb = SyntheticImdb(num_images=2)
+    h, w = 64, 64
+    entries = []
+    for _ in range(2):
+        entries.append(
+            {
+                "image": np.zeros((h, w, 3), np.uint8),
+                "height": h,
+                "width": w,
+                # Difficult box FIRST (class 1) so a misindexed lookup reads
+                # its class; the surviving gt is class 3.
+                "boxes": np.array(
+                    [[2, 2, 20, 20], [30, 30, 60, 60]], np.float32
+                ),
+                "gt_classes": np.array([1, 3], np.int32),
+                "difficult": np.array([True, False]),
+                "flipped": False,
+            }
+        )
+    imdb._roidb = entries
+    rng = np.random.RandomState(0)
+    # Proposals tightly around the surviving gt -> every fg sample must be
+    # labelled with ITS class (3), never the difficult box's class (1).
+    props = [
+        perturb_gt_regions(e["boxes"][1:2], (h, w), 3, rng) for e in entries
+    ]
+    batch = get_frcnn_minibatch(imdb, entries, props, CFG, rng)
+    fg = batch["labels"][batch["labels"] > 0]
+    assert fg.size > 0
+    assert (fg == 3).all()
+
+
 def test_compute_bbox_target_stats():
     from aznet_tpu.train.labels import compute_bbox_target_stats
 

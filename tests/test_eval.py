@@ -231,3 +231,48 @@ def test_coco_imdb_uses_coco_protocol(tmp_path, monkeypatch):
     r = imdb.evaluate_detections(ab, str(tmp_path))
     assert r["AP"] == pytest.approx(1.0)
     assert r["mAP@0.5_voc_protocol"] == pytest.approx(1.0)
+
+
+def test_coco_crowd_absorbs_detections():
+    from aznet_tpu.eval.coco_eval import coco_eval
+
+    # A detection on a crowd region is neither TP nor FP; the crowd stays
+    # matchable, so MULTIPLE detections on it are all absorbed. Crowd IoU
+    # uses intersection-over-detection, so small dets inside a big crowd
+    # still match it.
+    roidb = [{
+        "boxes": np.array([[0, 0, 9, 9], [100, 100, 199, 199]], np.float64),
+        "gt_classes": np.array([1, 1], np.int32),
+        "crowd": np.array([False, True]),
+    }]
+    ab = _mk_all_boxes(
+        {1: [[[110, 110, 129, 129, 0.95],   # inside crowd: absorbed
+              [150, 150, 169, 169, 0.92],   # inside crowd: also absorbed
+              [0, 0, 9, 9, 0.9]]]}, 2, 1)   # real gt: TP
+    r = coco_eval(ab, roidb, 2)
+    assert r["AP"] == pytest.approx(1.0)
+    assert r["AP50"] == pytest.approx(1.0)
+    # Without crowd flags those two dets outrank the TP as FPs -> AP < 1.
+    roidb_nc = [dict(roidb[0], crowd=np.array([False, False]))]
+    r_nc = coco_eval(ab, roidb_nc, 2)
+    assert r_nc["AP50"] < 1.0
+
+
+def test_coco_taken_ignored_noncrowd_gt_not_rematchable():
+    from aznet_tpu.eval.coco_eval import coco_eval
+
+    # pycocotools: a TAKEN non-crowd gt is skipped even when area-ignored.
+    # In the 'small' range the medium gt absorbs only the FIRST det on it;
+    # the second (small-area, in-range) det must count as FP.
+    roidb = [{
+        "boxes": np.array([[0, 0, 9, 9], [100, 100, 133, 133]], np.float64),
+        "gt_classes": np.array([1, 1], np.int32),
+    }]
+    ab = _mk_all_boxes(
+        {1: [[[100, 100, 130, 130, 0.95],   # absorbed by ignored medium gt
+              [100, 100, 130, 130, 0.9],    # gt taken -> FP (in small range)
+              [0, 0, 9, 9, 0.8]]]}, 2, 1)   # TP on the small gt
+    r = coco_eval(ab, roidb, 2)
+    # IoU(det, medium gt) = 961/1156 ~ 0.83: absorbed at thr <= 0.80
+    # (7 thrs -> prec 1/2), unmatched+FP at {.85,.9,.95} (prec 1/3).
+    assert r["AP_small"] == pytest.approx((7 * 0.5 + 3 * (1 / 3)) / 10)

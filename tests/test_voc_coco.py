@@ -136,8 +136,12 @@ def test_coco_imdb(tmp_path, monkeypatch):
     # xywh -> x1y1x2y2 inclusive
     np.testing.assert_allclose(e0["boxes"][0], [10, 20, 59, 49])
     assert e0["gt_classes"][0] == 1  # car
-    # crowd annotation excluded
-    assert imdb.roidb[1]["boxes"].shape[0] == 0
+    # crowd annotation kept as an IGNORE region: present in the roidb with
+    # crowd+difficult flags (absorbed in eval, excluded from training).
+    e1 = imdb.roidb[1]
+    assert e1["boxes"].shape[0] == 1
+    assert e1["crowd"][0] and e1["difficult"][0]
+    assert not e0["crowd"].any()
 
 
 def test_voc_end_to_end_train_eval(tmp_path, monkeypatch):

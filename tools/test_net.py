@@ -28,6 +28,8 @@ def parse_args():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--batched", action="store_true",
                    help="batched on-device propose/detect (canvas-bucketed; faster)")
+    p.add_argument("--batch-size", type=int, default=16,
+                   help="images per device batch in --batched mode")
     p.add_argument("--output", default="output/eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -76,17 +78,24 @@ def main():
         from aznet_tpu.eval.detection import evaluate_recall
 
         table = evaluate_recall(az_net, imdb, max_images=args.max_images,
-                                batched=args.batched)
+                                batched=args.batched,
+                                batch_size=args.batch_size)
         print(json.dumps({str(k): {str(t): round(v, 4) for t, v in row.items()}
                           for k, row in table.items()}, indent=2))
     else:
         from aznet_tpu.eval.detection import detect_all, detect_all_batched
 
         frcnn_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
-        runner = detect_all_batched if args.batched else detect_all
-        all_boxes = runner(az_net, frcnn_net, imdb,
-                           max_images=args.max_images,
-                           cache_file=os.path.join(args.output, "detections.pkl"))
+        cache = os.path.join(args.output, "detections.pkl")
+        if args.batched:
+            all_boxes = detect_all_batched(az_net, frcnn_net, imdb,
+                                           batch_size=args.batch_size,
+                                           max_images=args.max_images,
+                                           cache_file=cache)
+        else:
+            all_boxes = detect_all(az_net, frcnn_net, imdb,
+                                   max_images=args.max_images,
+                                   cache_file=cache)
         n = args.max_images or imdb.num_images
         # Prefer the imdb's own protocol (VOC<=2009 selects the 11-point
         # metric, writes results files — the reference flow); fall back to
