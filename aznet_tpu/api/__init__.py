@@ -104,7 +104,8 @@ def _canvas_for(h: int, w: int, cfg: Config, bucket: int = 64):
 
 
 def _blob_dtype(cfg: Config):
-    return jnp.bfloat16 if cfg.MODEL.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    return (jnp.float32 if cfg.MODEL.COMPUTE_DTYPE == "float32"
+            else jnp.bfloat16)
 
 
 def _cast_inference_params(params, cfg: Config):
@@ -115,13 +116,22 @@ def _cast_inference_params(params, cfg: Config):
     (XLA does not hoist it) — measured 1.8 ms/img of pure cast traffic.
     Head outputs stay float32 via the heads' explicit dtype.
     """
-    if cfg.MODEL.COMPUTE_DTYPE != "bfloat16":
-        return params
-    return jax.tree_util.tree_map(
+    cast = lambda tree: jax.tree_util.tree_map(
         lambda x: x.astype(jnp.bfloat16)
         if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        params,
+        tree,
     )
+    if cfg.MODEL.COMPUTE_DTYPE == "bfloat16":
+        return cast(params)
+    if cfg.MODEL.COMPUTE_DTYPE == "int8":
+        # Heads still compute in bf16; the trunk kernels stay f32 so
+        # in-jit weight quantization sees full precision (read once).
+        return {
+            k: ({kk: (vv if kk == "trunk" else cast(vv))
+                 for kk, vv in v.items()} if k == "params" else v)
+            for k, v in params.items()
+        }
+    return params
 
 
 def _propose_core(model, params, cfg: Config, image, canvas_hw,
@@ -348,6 +358,71 @@ def make_propose_batch_padded(model, cfg: Config, canvas_hw):
         def one(image, hw, s):
             return _propose_core(model, params, cfg, image, canvas_hw,
                                  src_hw=hw, scale=s)
+
+        return jax.vmap(one)(images, src_hw, scales)
+
+    return fn
+
+
+def trunks_shared(az_net: Net, frcnn_net: Net) -> bool:
+    """True iff the two nets share trunk parameters (``share_trunk``).
+
+    Identity check on the param leaves — the fused propose+detect program
+    is only numerically equivalent to the two-program path when the trunks
+    are literally the same weights.
+    """
+    ta = az_net.params["params"]["trunk"]
+    tb = frcnn_net.params["params"]["trunk"]
+    if ta is tb:
+        return True
+    la = jax.tree_util.tree_leaves(ta)
+    lb = jax.tree_util.tree_leaves(tb)
+    return len(la) == len(lb) and all(a is b for a, b in zip(la, lb))
+
+
+def make_fused_detect_batch_padded(az_model, frcnn_model, cfg_az: Config,
+                                   cfg_fr: Config, canvas_hw):
+    """ONE program for the shared-trunk end-to-end pipeline: trunk once ->
+    AZ zoom search -> surviving boxes -> FRCNN head, all in the same jit.
+
+    ``(az_params, fr_params, images [B,Hp,Wp,3], src_hw [B,2],
+    scales [B]) -> (prop_boxes [B,N,4] original coords, prop_scores,
+    prop_valid, det_scores [B,N,C], det_boxes [B,N,4C])``.
+
+    The reference runs two separate Caffe nets and computes the conv trunk
+    twice even when evaluating the paper's shared-trunk setting (SURVEY.md
+    §2.1 "Shared-trunk / combined eval" [M]; mount empty, no file:line) —
+    this cuts BASELINE config 3's cost by roughly a full trunk forward.
+    Only valid when :func:`trunks_shared` holds.
+    """
+
+    def fn(az_params, fr_params, images, src_hw, scales):
+        def one(image, hw, s):
+            az_p = _cast_inference_params(az_params, cfg_az)
+            blob, im_scale, (vh, vw) = preprocess_image(
+                image, cfg_az.PIXEL_MEANS, cfg_az.TEST.SCALES[0],
+                cfg_az.TEST.MAX_SIZE, canvas_hw[0], canvas_hw[1],
+                dtype=_blob_dtype(cfg_az), src_hw=hw, scale=s,
+            )
+            feat = az_model.apply(az_p, blob[None], method="features")[0]
+
+            def roi_fwd(f, r):
+                return az_model.apply(az_p, f, r, method="roi_forward")
+
+            boxes, p_scores, valid = az_search(
+                roi_fwd, feat, (vh, vw), cfg_az.SEAR,
+                num_templates=cfg_az.MODEL.NUM_TEMPLATES,
+                offset=cfg_az.BOX_OFFSET,
+            )
+            # boxes are scaled-image coords == the FRCNN rois directly.
+            fr_p = _cast_inference_params(fr_params, cfg_fr)
+            out = frcnn_model.apply(fr_p, feat, boxes, method="roi_forward")
+            det_scores = jax.nn.softmax(out["cls_score"], axis=-1)
+            orig = boxes / im_scale
+            pred = bbox_transform_inv(orig, out["bbox_pred"],
+                                      cfg_fr.BOX_OFFSET)
+            pred = clip_boxes(pred, (hw[0], hw[1]), cfg_fr.BOX_OFFSET)
+            return orig, p_scores, valid, det_scores, pred
 
         return jax.vmap(one)(images, src_hw, scales)
 

@@ -150,8 +150,16 @@ class ModelConfig:
     NUM_CLASSES: int = 21
     FC_DIM: int = 4096
     DROPOUT: float = 0.5
-    # Compute dtype for conv/matmul ("bfloat16" rides the MXU; params stay f32).
+    # Compute dtype for conv/matmul ("bfloat16" rides the MXU; params stay
+    # f32). "int8" (inference-only, vgg16) runs the trunk convs as int8
+    # GEMMs (~272 TOPS on v5e vs ~152 TFLOP/s bf16) — requires calibrated
+    # INT8_SCALES; heads/conv1_1 stay bfloat16.
     COMPUTE_DTYPE: str = "bfloat16"
+    # Static per-layer activation scales for the int8 trunk, in conv-layer
+    # order (conv1_1..conv5_3): scale i quantizes conv i's post-ReLU output
+    # for the next layer. Produced by ops/quant.py::calibrate_trunk_int8;
+    # () = uncalibrated (int8 mode raises).
+    INT8_SCALES: Tuple[float, ...] = ()
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

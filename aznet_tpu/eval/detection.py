@@ -190,19 +190,33 @@ def detect_all_batched(az_net: Net, frcnn_net: Net, imdb,
                        max_images: Optional[int] = None,
                        max_per_image: Optional[int] = None,
                        cache_file: Optional[str] = None,
-                       verbose: bool = False):
+                       verbose: bool = False,
+                       fused: Optional[bool] = None):
     """Batched full pipeline: batched AZ propose -> batched FRCNN detect.
 
     Same ``all_boxes`` semantics as :func:`detect_all`, but images are
     canvas-bucketed and zero-padded so each bucket compiles once and every
     device call carries a full batch — the per-image loop pays a host
     round-trip per image, which dominates on remote backends.
+
+    ``fused=None`` auto-selects the single-program shared-trunk pipeline
+    (:func:`detect_all_fused`) when the two nets share trunk params —
+    one trunk forward instead of two, identical results.
     """
     import jax
     import jax.numpy as jnp
 
-    from aznet_tpu.api import make_detect_batch_padded, _canvas_for
+    from aznet_tpu.api import make_detect_batch_padded, _canvas_for, \
+        trunks_shared
     from aznet_tpu.ops.preprocess import compute_scale
+
+    if fused is None:
+        fused = trunks_shared(az_net, frcnn_net)
+    if fused:
+        return detect_all_fused(az_net, frcnn_net, imdb,
+                                batch_size=batch_size, max_images=max_images,
+                                max_per_image=max_per_image,
+                                cache_file=cache_file, verbose=verbose)
 
     cfg = frcnn_net.cfg
     n = min(imdb.num_images, max_images or imdb.num_images)
@@ -251,6 +265,85 @@ def detect_all_batched(az_net: Net, frcnn_net: Net, imdb,
             scores, pred = np.asarray(scores), np.asarray(pred)
             for j, i in enumerate(chunk):
                 k = int(n_props[j])
+                if k == 0:
+                    continue
+                _store_image_dets(all_boxes, i, scores[j][:k], pred[j][:k],
+                                  cfg, num_classes, max_per_image)
+    if cache_file:
+        os.makedirs(os.path.dirname(cache_file) or ".", exist_ok=True)
+        with open(cache_file, "wb") as f:
+            pickle.dump(all_boxes, f)
+    return all_boxes
+
+
+def detect_all_fused(az_net: Net, frcnn_net: Net, imdb,
+                     batch_size: int = 16,
+                     max_images: Optional[int] = None,
+                     max_per_image: Optional[int] = None,
+                     cache_file: Optional[str] = None,
+                     verbose: bool = False):
+    """Shared-trunk end-to-end detection: ONE program per canvas bucket
+    runs trunk -> AZ search -> FRCNN head (api.make_fused_detect_batch_
+    padded). Requires ``trunks_shared(az_net, frcnn_net)``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.api import (_canvas_for, make_fused_detect_batch_padded,
+                               trunks_shared)
+    from aznet_tpu.ops.preprocess import compute_scale
+    from aznet_tpu.utils.timer import Timer
+
+    if not trunks_shared(az_net, frcnn_net):
+        raise ValueError("detect_all_fused needs share_trunk'd nets "
+                         "(identical trunk params)")
+    cfg = frcnn_net.cfg
+    cfg_az = az_net.cfg
+    n = min(imdb.num_images, max_images or imdb.num_images)
+    num_classes = cfg.MODEL.NUM_CLASSES
+    max_per_image = max_per_image or cfg.TEST.MAX_PER_IMAGE
+    all_boxes = [[np.zeros((0, 5), np.float32) for _ in range(n)]
+                 for _ in range(num_classes)]
+
+    rup = lambda v, m=32: int(-(-v // m) * m)
+    buckets: dict = {}
+    for i in range(n):
+        e = imdb.roidb[i]
+        buckets.setdefault(_canvas_for(e["height"], e["width"], cfg_az),
+                           []).append(i)
+    timer = Timer()
+    for canvas, idxs in buckets.items():
+        hp = rup(max(imdb.roidb[i]["height"] for i in idxs))
+        wp = rup(max(imdb.roidb[i]["width"] for i in idxs))
+        key = ("detect_fused", canvas, hp, wp, batch_size)
+        fn = az_net.get_jit(key, lambda: jax.jit(
+            make_fused_detect_batch_padded(az_net.model, frcnn_net.model,
+                                           cfg_az, cfg, canvas)))
+        for start in range(0, len(idxs), batch_size):
+            chunk = idxs[start : start + batch_size]
+            ims = np.zeros((batch_size, hp, wp, 3), np.float32)
+            src_hw = np.zeros((batch_size, 2), np.float32)
+            scales = np.ones((batch_size,), np.float32)
+            for j, i in enumerate(chunk):
+                im = imdb.image_array(imdb.roidb[i])
+                ims[j, : im.shape[0], : im.shape[1]] = im
+                src_hw[j] = (im.shape[0], im.shape[1])
+                scales[j] = compute_scale(im.shape[0], im.shape[1],
+                                          cfg_az.TEST.SCALES[0],
+                                          cfg_az.TEST.MAX_SIZE)
+            if len(chunk) < batch_size:
+                src_hw[len(chunk):] = src_hw[len(chunk) - 1]
+                scales[len(chunk):] = scales[len(chunk) - 1]
+            timer.tic()
+            _, _, valid, scores, pred = jax.device_get(
+                fn(az_net.params, frcnn_net.params, jnp.asarray(ims),
+                   jnp.asarray(src_hw), jnp.asarray(scales)))
+            t = timer.toc()
+            if verbose:
+                print(f"# fused batch of {len(chunk)} "
+                      f"(canvas {canvas}) {t / batch_size * 1000:.1f} ms/img")
+            for j, i in enumerate(chunk):
+                k = int(valid[j].sum())
                 if k == 0:
                     continue
                 _store_image_dets(all_boxes, i, scores[j][:k], pred[j][:k],

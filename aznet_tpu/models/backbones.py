@@ -24,8 +24,16 @@ def get_backbone(model_cfg: ModelConfig):
         raise ValueError(
             f"unknown backbone {model_cfg.BACKBONE!r}; options: {sorted(_BACKBONES)}"
         ) from None
-    dtype = jnp.bfloat16 if model_cfg.COMPUTE_DTYPE == "bfloat16" else jnp.float32
+    # int8 mode: trunk GEMMs are int8; conv1_1/heads compute in bfloat16.
+    dtype = (jnp.float32 if model_cfg.COMPUTE_DTYPE == "float32"
+             else jnp.bfloat16)
     if cls is VGG16Trunk:
         return cls(dtype=dtype, width=model_cfg.WIDTH,
-                   fuse_conv1=model_cfg.FUSE_CONV1)
+                   fuse_conv1=model_cfg.FUSE_CONV1,
+                   int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
+                   int8_scales=tuple(model_cfg.INT8_SCALES))
+    if model_cfg.COMPUTE_DTYPE == "int8":
+        raise ValueError(
+            f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 "
+            f"backbone, not {model_cfg.BACKBONE!r}")
     return cls(dtype=dtype)

@@ -45,14 +45,64 @@ class VGG16Trunk(nn.Module):
     # (no VJP), so training keeps the XLA convolutions.
     fuse_conv1: bool = False
 
+    # Inference-only int8 path (ops/conv_int8.py): conv1_2..conv5_3 as
+    # dx-packed int8 GEMMs with int32 accumulation; activations flow
+    # between layers as int8 (1 byte/el HBM). conv1_1 (K=27, MXU-hostile)
+    # stays in `dtype`. Identical parameters/checkpoints; requires
+    # calibrated per-layer activation scales (ops/quant.py).
+    int8_mode: bool = False
+    int8_scales: tuple = ()
+
     feat_stride: int = 16
 
     @property
     def out_channels(self) -> int:
         return max(int(512 * self.width), 8)
 
+    def _int8_forward(self, x):
+        """conv1_1 in `dtype`, then int8 GEMM convs (post-init apply only)."""
+        from aznet_tpu.ops.conv_int8 import conv3x3_int8, quantize_acts, \
+            quantize_weights
+
+        conv_names = [n for n, ch in VGG16_LAYOUT if ch is not None]
+        if len(self.int8_scales) < len(conv_names) - 1:
+            raise ValueError(
+                "int8 trunk needs MODEL.INT8_SCALES for conv1_1..conv5_2 "
+                "(run aznet_tpu.ops.quant.calibrate_trunk_int8 first); got "
+                f"{len(self.int8_scales)} scales")
+        scales = dict(zip(conv_names, self.int8_scales))
+        p = self.variables["params"]
+
+        squeeze = x.ndim == 3
+        if squeeze:
+            x = x[None]
+        # conv1_1 + ReLU in bf16 (3-channel K=27 input conv), then quantize.
+        k = p["conv1_1"]["kernel"].astype(self.dtype)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32)
+        y = jnp.maximum(y + p["conv1_1"]["bias"], 0.0)
+        s_x = scales["conv1_1"]
+        x = quantize_acts(y, s_x)
+        for name, ch in VGG16_LAYOUT[1:]:
+            if ch is None:
+                x = nn.max_pool(x, (2, 2), strides=(2, 2))
+                continue
+            w_q, s_w = quantize_weights(p[name]["kernel"].astype(jnp.float32))
+            # conv5_3 is the trunk output: emit `dtype`, never requantize.
+            s_out = scales.get(name) if name != conv_names[-1] else None
+            x = conv3x3_int8(x, s_x, w_q, s_w,
+                             p[name]["bias"].astype(jnp.float32),
+                             s_out=s_out, out_dtype=self.dtype)
+            if s_out is not None:
+                s_x = s_out
+        return x[0] if squeeze else x
+
     @nn.compact
     def __call__(self, x):
+        if self.int8_mode and not self.is_initializing():
+            return self._int8_forward(x)
         x = x.astype(self.dtype)
         layout = VGG16_LAYOUT
         if (self.fuse_conv1 and not self.is_initializing()

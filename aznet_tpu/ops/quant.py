@@ -1,0 +1,103 @@
+"""Post-training int8 calibration for the VGG trunk.
+
+Runs the bf16 trunk on calibration images, captures every conv layer's
+pre-ReLU output via flax ``capture_intermediates``, and derives one static
+symmetric scale per layer from the post-ReLU absolute-max (optionally a
+percentile, which clips rare outliers for tighter quantization grids).
+
+The scales are *model configuration*, not weights: they return as a plain
+tuple for ``cfg.MODEL.INT8_SCALES`` (static under jit, baked into the
+compiled program as constants), so checkpoints are untouched and the int8
+net is a pure config swap:
+
+    scales = calibrate_trunk_int8(net, images)
+    cfg8 = with_int8_scales(net.cfg, scales)
+    net8 = build_az_net(cfg8, params=net.params)
+
+Reference equivalent: none — the reference (Caffe VGG-16, SURVEY.md §2.1)
+has no quantized inference path; this is TPU-new (DESIGN.md finding 10).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from aznet_tpu.config import Config
+from aznet_tpu.models.vgg import VGG16_LAYOUT
+
+CONV_NAMES = tuple(n for n, ch in VGG16_LAYOUT if ch is not None)
+
+
+def calibrate_trunk_int8(net, images, percentile: float = 100.0,
+                         batch_size: int = 4) -> tuple:
+    """Derive per-layer activation scales from calibration images.
+
+    net: a bf16/f32 ``Net`` (``build_az_net``/``build_frcnn_net``) whose
+    trunk is vgg16. images: [N, H, W, 3] preprocessed blobs (BGR, mean-
+    subtracted) — a handful of representative images suffices.
+    Returns a tuple of len(CONV_NAMES) floats (conv5_3's is recorded for
+    diagnostics; the trunk never requantizes its output).
+    """
+    if net.cfg.MODEL.COMPUTE_DTYPE == "int8":
+        raise ValueError("calibrate with a bfloat16/float32 net, not int8")
+    import jax
+
+    images = np.asarray(images, np.float32)
+    maxes = {n: 0.0 for n in CONV_NAMES}
+    filt = lambda mdl, _: getattr(mdl, "name", None) in CONV_NAMES
+
+    @jax.jit
+    def captured_max(params, chunk):
+        # One compiled program per chunk shape; on the remote TPU an eager
+        # capture run would pay per-op dispatch latency thousands of times.
+        _, inter = net.model.apply(params, chunk, method="features",
+                                   capture_intermediates=filt)
+        flat = _flatten_intermediates(inter["intermediates"])
+        # captured = pre-ReLU conv output; the quantized tensor is
+        # post-ReLU, so only the positive side sets the scale.
+        return {n: jnp.max(jnp.maximum(flat[n].astype(jnp.float32), 0.0))
+                for n in CONV_NAMES}
+
+    use_pct = percentile < 100.0
+    for start in range(0, images.shape[0], batch_size):
+        chunk = jnp.asarray(images[start : start + batch_size])
+        if use_pct:
+            _, inter = net.model.apply(net.params, chunk, method="features",
+                                       capture_intermediates=filt)
+            flat = _flatten_intermediates(inter["intermediates"])
+            for name in CONV_NAMES:
+                y = np.maximum(np.asarray(flat[name], np.float32), 0.0)
+                maxes[name] = max(maxes[name],
+                                  float(np.percentile(y, percentile)))
+        else:
+            m = jax.device_get(captured_max(net.params, chunk))
+            for name in CONV_NAMES:
+                maxes[name] = max(maxes[name], float(m[name]))
+    return tuple(max(maxes[n], 1e-6) / 127.0 for n in CONV_NAMES)
+
+
+def _flatten_intermediates(tree, out=None):
+    """{'trunk': {'conv1_1': {'__call__': (y,)}}} -> {'conv1_1': y}."""
+    if out is None:
+        out = {}
+    for k, v in tree.items():
+        if k == "__call__":
+            continue
+        if k in CONV_NAMES:
+            out[k] = v["__call__"][0]
+        elif isinstance(v, dict) or hasattr(v, "items"):
+            _flatten_intermediates(v, out)
+    return out
+
+
+def with_int8_scales(cfg: Config, scales: Sequence[float]) -> Config:
+    """cfg with COMPUTE_DTYPE='int8' and the given trunk scales."""
+    model = dataclasses.replace(
+        cfg.MODEL, COMPUTE_DTYPE="int8",
+        INT8_SCALES=tuple(float(s) for s in scales))
+    return dataclasses.replace(cfg, MODEL=model)

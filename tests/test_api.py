@@ -204,3 +204,39 @@ def test_detect_all_batched_matches_single():
             assert a.shape == b.shape, (c, i, a.shape, b.shape)
             if a.size:
                 np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
+
+
+def test_detect_all_fused_matches_unfused():
+    """Shared-trunk single-program pipeline == propose-then-detect."""
+    from aznet_tpu.api import share_trunk, trunks_shared
+    from aznet_tpu.data.imdb import get_imdb
+    from aznet_tpu.eval.detection import detect_all_batched, detect_all_fused
+
+    az = build_az_net(CFG)
+    fr = share_trunk(build_frcnn_net(CFG), az)
+    assert trunks_shared(az, fr)
+    imdb = get_imdb("synthetic_val")
+    unfused = detect_all_batched(az, fr, imdb, max_images=3, batch_size=2,
+                                 fused=False)
+    fused = detect_all_fused(az, fr, imdb, max_images=3, batch_size=2)
+    # auto-dispatch picks fused for shared trunks
+    auto = detect_all_batched(az, fr, imdb, max_images=3, batch_size=2)
+    for c in range(1, 4):
+        for i in range(3):
+            a, b, d = unfused[c][i], fused[c][i], auto[c][i]
+            assert a.shape == b.shape == d.shape, (c, i, a.shape, b.shape)
+            if a.size:
+                np.testing.assert_allclose(a, b, atol=2e-2, rtol=1e-2)
+                np.testing.assert_array_equal(b, d)
+
+
+def test_detect_all_fused_requires_shared_trunk():
+    import pytest
+
+    from aznet_tpu.data.imdb import get_imdb
+    from aznet_tpu.eval.detection import detect_all_fused
+
+    az = build_az_net(CFG)
+    fr = build_frcnn_net(CFG)  # independent random trunk
+    with pytest.raises(ValueError, match="share_trunk"):
+        detect_all_fused(az, fr, get_imdb("synthetic_val"), max_images=1)
