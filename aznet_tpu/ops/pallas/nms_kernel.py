@@ -1,4 +1,4 @@
-"""Tiled greedy NMS as a single Pallas kernel.
+"""Tiled greedy NMS as a single Pallas kernel (natively batched).
 
 Reference equivalent: ``lib/utils/nms.pyx`` (SURVEY.md §2.3) — the host
 Cython greedy loop; the BASELINE "NMS Mboxes/sec" metric targets exactly
@@ -7,11 +7,11 @@ iterative: it materializes the (N, N) IoU matrix in HBM and re-reduces it
 every iteration. This kernel computes greedy NMS in ONE pass by exploiting
 the TPU's sequential grid:
 
-  grid step i (one TILE-box tile, score-descending order):
+  grid step (b, i) (stream b, TILE-box tile i, score-descending order):
     1. cross-tile suppression: IoU(tile_i, tile_j) against every EARLIER
        tile j, masked by tile_j's already-final keep row (read back from the
-       output ref — TPU grids execute in order, so outputs double as carry
-       state).
+       output ref — TPU grids execute in row-major order, so the per-stream
+       keep block doubles as carry state across i).
     2. within-tile resolution via the antitone fixpoint on the tile's own
        (TILE, TILE) suppression matrix — exact greedy (triangular S
        stabilizes element-by-element, so it terminates in chain-depth
@@ -19,10 +19,13 @@ the TPU's sequential grid:
        Mosaic unrolls fori loops and the compile exploded).
     3. write keep row i.
 
-Coordinates are passed in BOTH (1, N) and (N, 1) layouts so the in-kernel
-row/column broadcasts need no relayout. All IoU tiles live in VMEM;
-cross-tile work is O(N^2/2) VPU flops done exactly once, vs O(N^2 * depth)
-full-matrix HBM traffic for the pure-JAX fixpoint.
+Coordinates are passed in BOTH (4, N) lane-major and (N, 4) sublane-major
+layouts so the in-kernel row/column broadcasts need no relayout. The
+sublane copy is BLOCKED per tile ((TILE, 4) per grid step) — keeping the
+whole (N, 4) array resident cost 32x lane padding (the round-2 bench's
+16x4096 regime lost >2x to it); the per-tile block is a 4 KB DMA. Batched
+streams map to the leading grid dimension, so one kernel launch handles
+the serving shape ``[B, N]`` with every stream's state in VMEM.
 """
 
 from __future__ import annotations
@@ -38,24 +41,25 @@ TILE = 256
 
 
 def _nms_kernel(offset, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
-    """lane_ref: (4, N) coords as lane rows; sub_ref: (N, 4->padded 128)?"""
-    i = pl.program_id(0)
+    """Blocks per (b, i) step: lane (1,4,N), sub (1,TILE,4) [tile i],
+    valid (1,1,N), keep (1,tiles,TILE) [stream-resident carry]."""
+    i = pl.program_id(1)
     t = thresh_ref[0, 0]
 
-    # Row-layout (TILE, 1) coords of tile i from the (N, 4+) sublane array.
-    rx1 = sub_ref[pl.ds(i * TILE, TILE), pl.ds(0, 1)]
-    ry1 = sub_ref[pl.ds(i * TILE, TILE), pl.ds(1, 1)]
-    rx2 = sub_ref[pl.ds(i * TILE, TILE), pl.ds(2, 1)]
-    ry2 = sub_ref[pl.ds(i * TILE, TILE), pl.ds(3, 1)]
+    # Row-layout (TILE, 1) coords of tile i from its (TILE, 4) block.
+    rx1 = sub_ref[0, :, pl.ds(0, 1)]
+    ry1 = sub_ref[0, :, pl.ds(1, 1)]
+    rx2 = sub_ref[0, :, pl.ds(2, 1)]
+    ry2 = sub_ref[0, :, pl.ds(3, 1)]
     area_r = (rx2 - rx1 + offset) * (ry2 - ry1 + offset)  # (T, 1)
-    valid_i = valid_ref[:, pl.ds(i * TILE, TILE)]  # (1, T)
+    valid_i = valid_ref[0, :, pl.ds(i * TILE, TILE)]  # (1, T)
 
     def iou_cols(j):
         """IoU of tile i rows vs tile j columns -> (T, T)."""
-        cx1 = lane_ref[pl.ds(0, 1), pl.ds(j * TILE, TILE)]
-        cy1 = lane_ref[pl.ds(1, 1), pl.ds(j * TILE, TILE)]
-        cx2 = lane_ref[pl.ds(2, 1), pl.ds(j * TILE, TILE)]
-        cy2 = lane_ref[pl.ds(3, 1), pl.ds(j * TILE, TILE)]
+        cx1 = lane_ref[0, pl.ds(0, 1), pl.ds(j * TILE, TILE)]
+        cy1 = lane_ref[0, pl.ds(1, 1), pl.ds(j * TILE, TILE)]
+        cx2 = lane_ref[0, pl.ds(2, 1), pl.ds(j * TILE, TILE)]
+        cy2 = lane_ref[0, pl.ds(3, 1), pl.ds(j * TILE, TILE)]
         iw = jnp.minimum(rx2, cx2) - jnp.maximum(rx1, cx1) + offset
         ih = jnp.minimum(ry2, cy2) - jnp.maximum(ry1, cy1) + offset
         inter = jnp.maximum(iw, 0.0) * jnp.maximum(ih, 0.0)
@@ -66,7 +70,7 @@ def _nms_kernel(offset, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
     # 1) cross-tile suppression from all earlier (finalized) tiles.
     def prev_body(j, supp):
         iou = iou_cols(j)
-        keep_j = keep_ref[pl.ds(j, 1), :]  # (1, T)
+        keep_j = keep_ref[0, pl.ds(j, 1), :]  # (1, T)
         hit = jnp.max(jnp.where((iou > t) & (keep_j > 0.0), 1.0, 0.0),
                       axis=1, keepdims=True)  # (T, 1)
         return jnp.maximum(supp, hit)
@@ -94,7 +98,55 @@ def _nms_kernel(offset, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
     keep_i, _ = jax.lax.while_loop(fix_cond, fix_body, (init, jnp.float32(1.0)))
 
     # 3) finalize this tile's keep row.
-    keep_ref[pl.ds(i, 1), :] = keep_i
+    keep_ref[0, pl.ds(i, 1), :] = keep_i
+
+
+def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
+                       interpret: bool = False):
+    """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
+    in ORIGINAL order — B independent streams in ONE kernel launch
+    (grid = streams x tiles)."""
+    bsz, n = scores.shape
+    if valid is None:
+        valid = jnp.ones((bsz, n), bool)
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    s = jnp.where(valid, scores, neg_inf)
+    order = jnp.argsort(-s, axis=1, stable=True)
+    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+    sboxes = sboxes.astype(jnp.float32)
+    svalid = jnp.take_along_axis(valid, order, axis=1)
+
+    n_pad = int(-(-n // TILE) * TILE)
+    num_tiles = n_pad // TILE
+    pad = n_pad - n
+    sboxes = jnp.pad(sboxes, ((0, 0), (0, pad), (0, 0)))
+    svalid_f = jnp.pad(svalid.astype(jnp.float32), ((0, 0), (0, pad)))
+
+    lane = jnp.swapaxes(sboxes, 1, 2)  # (B, 4, N): coords as lane rows
+    sub = sboxes  # (B, N, 4): coords as sublane columns, blocked per tile
+    thresh_arr = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
+
+    keep_rows = pl.pallas_call(
+        partial(_nms_kernel, offset),
+        grid=(bsz, num_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 4, n_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE, 4), lambda b, i: (b, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, num_tiles, TILE), lambda b, i: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bsz, num_tiles, TILE), jnp.float32),
+        interpret=interpret,
+    )(thresh_arr, lane, sub, svalid_f.reshape(bsz, 1, n_pad))
+
+    keep_sorted = keep_rows.reshape(bsz, n_pad)[:, :n] > 0.0
+    out = jnp.zeros((bsz, n), bool)
+    return jax.vmap(lambda o, idx, k: o.at[idx].set(k))(out, order, keep_sorted)
 
 
 def nms_pallas(boxes, scores, thresh, valid=None, offset: float = 1.0,
@@ -104,38 +156,8 @@ def nms_pallas(boxes, scores, thresh, valid=None, offset: float = 1.0,
     Same semantics as :func:`aznet_tpu.ops.nms.nms_mask`. ``interpret=True``
     runs the kernel in the Pallas interpreter (CPU tests).
     """
-    n = boxes.shape[0]
-    if valid is None:
-        valid = jnp.ones((n,), bool)
-    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
-    s = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-s, stable=True)
-    sboxes = boxes[order].astype(jnp.float32)
-    svalid = valid[order]
-
-    n_pad = int(-(-n // TILE) * TILE)
-    num_tiles = n_pad // TILE
-    pad = n_pad - n
-    sboxes = jnp.pad(sboxes, ((0, pad), (0, 0)))
-    svalid_f = jnp.pad(svalid.astype(jnp.float32), (0, pad))
-
-    lane = sboxes.T.reshape(4, n_pad)  # (4, N): coords as lane rows
-    sub = sboxes  # (N, 4): coords as sublane columns
-    thresh_arr = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
-
-    keep_rows = pl.pallas_call(
-        partial(_nms_kernel, offset),
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, TILE), jnp.float32),
-        interpret=interpret,
-    )(thresh_arr, lane, sub, svalid_f.reshape(1, n_pad))
-
-    keep_sorted = keep_rows.reshape(n_pad)[:n] > 0.0
-    return jnp.zeros((n,), bool).at[order].set(keep_sorted)
+    return nms_pallas_batched(
+        boxes[None], scores[None], thresh,
+        valid=None if valid is None else valid[None],
+        offset=offset, interpret=interpret,
+    )[0]

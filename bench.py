@@ -207,7 +207,7 @@ def _bench_nms_secondary():
 
     if jax.devices()[0].platform == "cpu":
         return None
-    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
 
     n, batch = 4096, 16  # serving regime: batched streams at the deep-tree
     # CAND_BUF size (greedy NMS is O(N^2)/box, so Mboxes/s is shape-specific); the
@@ -225,8 +225,8 @@ def _bench_nms_secondary():
         # Scan the reps inside one program: per-call dispatch latency on a
         # remote backend otherwise dominates the kernel.
         def step(c, _):
-            keep = jax.vmap(lambda bb, ss: nms_pallas(bb, ss, 0.5))(
-                b, s + c * 1e-9)
+            # Natively batched kernel: one launch, grid = streams x tiles.
+            keep = nms_pallas_batched(b, s + c * 1e-9, 0.5)
             return c + jnp.sum(keep.astype(jnp.float32)) * 1e-20, None
         acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
         return acc

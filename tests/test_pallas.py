@@ -120,3 +120,23 @@ def test_fused_conv1_pool_matches_xla():
     out = fused_conv1_pool(x, w11, b11, w12, b12, interpret=True)
     assert out.shape == (B, H // 2, W // 2, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_nms_pallas_batched_matches_per_stream():
+    """Native multi-stream launch == independent per-stream greedy NMS."""
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
+
+    rng = np.random.RandomState(9)
+    bsz, n = 3, 600
+    xy = rng.uniform(0, 800, (bsz, n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 200, (bsz, n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    scores = rng.rand(bsz, n).astype(np.float32)
+    keep = np.asarray(nms_pallas_batched(jnp.asarray(boxes),
+                                         jnp.asarray(scores), 0.5,
+                                         interpret=True))
+    for b in range(bsz):
+        dets = np.concatenate([boxes[b], scores[b][:, None]], -1)
+        want = np.zeros(n, bool)
+        want[nms(dets, 0.5)] = True
+        np.testing.assert_array_equal(keep[b], want)

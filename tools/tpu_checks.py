@@ -1,0 +1,208 @@
+#!/usr/bin/env python
+"""Real-TPU kernel correctness checks -> one JSON artifact per round.
+
+CI runs every Pallas kernel in interpret mode on CPU (tests/test_pallas.py);
+a Mosaic compiler regression on real hardware would otherwise only surface
+as silently wrong bench numbers. This tool runs the compiled kernels on the
+actual chip and checks them against independent oracles:
+
+  nms_pallas        vs the C++ greedy oracle (csrc/aznet_host.cc)
+  bbox_overlaps     (Pallas tiled) vs broadcast jnp IoU
+  roi_align_pallas  vs the XLA separable-matmul roi_align
+  int8 GEMM conv    vs the f32 XLA conv (exact on integer grids)
+  az_search         (device program, smallnet) vs the NumPy oracle
+
+Usage:  python tools/tpu_checks.py [--out TPUCHECK.json]
+Writes/prints {"device", "checks": {name: {"ok": bool, ...}}, "all_ok"}.
+Exit code 0 iff everything passed (or --allow-cpu with no TPU).
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def check_nms():
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
+    from aznet_tpu.utils import native
+
+    rng = np.random.RandomState(3)
+    n = 2048
+    xy = rng.uniform(0, 1500, (n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 250, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    scores = rng.rand(n).astype(np.float32)
+    keep = np.asarray(jax.jit(lambda b, s: nms_pallas(b, s, 0.5))(
+        jnp.asarray(boxes), jnp.asarray(scores)))
+    kept_idx = sorted(np.flatnonzero(keep).tolist())
+    if native.available():
+        dets = np.concatenate([boxes, scores[:, None]], -1)
+        ref = sorted(native.nms(dets, 0.5))
+        src = "cpp_oracle"
+    else:  # NumPy greedy fallback oracle
+        from aznet_tpu.ops.nms import nms as nms_host
+
+        ref = sorted(nms_host(np.concatenate([boxes, scores[:, None]], -1), 0.5))
+        src = "numpy_oracle"
+    return {"ok": kept_idx == list(ref), "kept": len(kept_idx),
+            "oracle": src}
+
+
+def check_iou():
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.iou import iou_matrix
+    from aznet_tpu.ops.pallas.iou_kernel import bbox_overlaps_pallas
+
+    rng = np.random.RandomState(5)
+    a = rng.uniform(0, 500, (300, 4)).astype(np.float32)
+    b = rng.uniform(0, 500, (200, 4)).astype(np.float32)
+    a[:, 2:] += a[:, :2]
+    b[:, 2:] += b[:, :2]
+    got = np.asarray(jax.jit(bbox_overlaps_pallas)(jnp.asarray(a),
+                                                   jnp.asarray(b)))
+    ref = np.asarray(iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+    err = float(np.abs(got - ref).max())
+    return {"ok": err < 1e-5, "max_err": err}
+
+
+def check_roi_align():
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.roi_pool import roi_align
+    from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas
+
+    rng = np.random.RandomState(7)
+    feat = jnp.asarray(rng.randn(38, 50, 256).astype(np.float32))
+    rois = np.zeros((64, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 600, 64)
+    rois[:, 1] = rng.uniform(0, 450, 64)
+    rois[:, 2] = rois[:, 0] + rng.uniform(16, 200, 64)
+    rois[:, 3] = rois[:, 1] + rng.uniform(16, 150, 64)
+    rois = jnp.asarray(rois)
+    got = np.asarray(jax.jit(
+        lambda f, r: roi_align_pallas(f, r, 1.0 / 16.0))(feat, rois))
+    ref = np.asarray(jax.jit(
+        lambda f, r: roi_align(f, r, 1.0 / 16.0))(feat, rois))
+    err = float(np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6))
+    return {"ok": err < 1e-3, "max_rel_err": err}
+
+
+def check_int8_conv():
+    import jax.numpy as jnp
+    import jax
+
+    from aznet_tpu.ops.conv_int8 import conv3x3_f32_reference, conv3x3_int8
+
+    rng = np.random.RandomState(11)
+    x = rng.randint(-5, 6, (2, 32, 40, 64)).astype(np.float32)
+    w = rng.randint(-3, 4, (3, 3, 64, 128)).astype(np.float32)
+    b = rng.randint(-2, 3, (128,)).astype(np.float32)
+    w_q = jnp.asarray(w.reshape(3, 3 * 64, 128), jnp.int8)
+    s_w = jnp.ones((128,), jnp.float32)
+    y = np.asarray(jax.jit(
+        lambda xi, wq, bb: conv3x3_int8(xi, 1.0, wq, s_w, bb,
+                                        out_dtype=jnp.float32))(
+        jnp.asarray(x, jnp.int8), w_q, jnp.asarray(b)))
+    ref = np.asarray(conv3x3_f32_reference(jnp.asarray(x), jnp.asarray(w),
+                                           jnp.asarray(b)))
+    err = float(np.abs(y - ref).max())
+    return {"ok": err == 0.0, "max_err": err}
+
+
+def check_search():
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.config import ModelConfig, SearchConfig
+    from aznet_tpu.models import AZNet
+    from aznet_tpu.search import az_search, az_search_oracle
+
+    model = AZNet(model_cfg=ModelConfig(
+        BACKBONE="smallnet", FC_DIM=32, NUM_TEMPLATES=5,
+        COMPUTE_DTYPE="float32", POOLING_MODE="align"))
+    scfg = SearchConfig(FRONTIER_CAP=32, CAND_BUF=256, MAX_LEVELS=3,
+                        NUM_PROPOSALS=20, ZOOM_THRESH=0.2, MIN_SIZE=8.0,
+                        CONF_THRESH=0.05, NMS_THRESH=0.7, SEED_LEVELS=1)
+    rng = np.random.RandomState(3)
+    h, w = 96, 128
+    images = jnp.asarray(rng.uniform(-1, 1, (1, h, w, 3)).astype(np.float32))
+    params = model.init(jax.random.PRNGKey(3), images,
+                        jnp.array([[0.0, 0.0, 63.0, 63.0]]))
+    feat = model.apply(params, images, method="features")[0]
+
+    def roi_fwd(f, r):
+        return model.apply(params, f, r, method="roi_forward")
+
+    boxes, scores, valid = jax.jit(
+        lambda f: az_search(roi_fwd, f, (h, w), scfg, num_templates=5))(feat)
+    nv = int(np.asarray(valid).sum())
+    ob, osc = az_search_oracle(
+        lambda f, r: roi_fwd(jnp.asarray(f), jnp.asarray(r)),
+        np.asarray(feat), (h, w), scfg, num_templates=5)
+    n_ok = nv == len(osc)
+    s_err = float(np.abs(np.asarray(scores)[:nv] - osc).max()) if n_ok else 1e9
+    b_err = float(np.abs(np.asarray(boxes)[:nv] - ob).max()) if n_ok else 1e9
+    return {"ok": n_ok and s_err < 1e-2 and b_err < 0.5,
+            "n_device": nv, "n_oracle": len(osc),
+            "score_err": s_err, "box_err": b_err}
+
+
+CHECKS = {
+    "nms_pallas_vs_greedy_oracle": check_nms,
+    "iou_pallas_vs_jnp": check_iou,
+    "roi_align_pallas_vs_xla": check_roi_align,
+    "int8_conv_vs_f32_exact": check_int8_conv,
+    "az_search_device_vs_oracle": check_search,
+}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", default=None, help="write JSON here")
+    p.add_argument("--allow-cpu", action="store_true",
+                   help="run on CPU (interpret-mode kernels) without failing")
+    args = p.parse_args()
+
+    import jax
+
+    platform = jax.devices()[0].platform
+    if platform == "cpu" and not args.allow_cpu:
+        print("no TPU visible; pass --allow-cpu to run interpreted")
+        sys.exit(2)
+
+    out = {"device": str(jax.devices()[0]), "platform": platform,
+           "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+           "checks": {}}
+    for name, fn in CHECKS.items():
+        t0 = time.perf_counter()
+        try:
+            res = fn()
+        except Exception as e:  # a crash is a failed check, not a crash here
+            res = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        res["seconds"] = round(time.perf_counter() - t0, 2)
+        out["checks"][name] = res
+        print(f"[{'ok' if res['ok'] else 'FAIL'}] {name} "
+              f"({res['seconds']}s) {res}", flush=True)
+    out["all_ok"] = all(c["ok"] for c in out["checks"].values())
+    js = json.dumps(out, indent=1)
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write(js + "\n")
+    print(js)
+    sys.exit(0 if out["all_ok"] else 1)
+
+
+if __name__ == "__main__":
+    main()
