@@ -262,35 +262,40 @@ def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw,
 def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
     """Multi-scale image-pyramid im_detect (reference cfg.TEST.SCALES path,
     SURVEY.md §5.7): run the trunk per scale; each roi reads the scale whose
-    scaled area is closest to 224^2 (the fast-rcnn heuristic)."""
+    scaled area is closest to 224^2 (the fast-rcnn heuristic).
+
+    The head runs ONCE: rois are pooled from every scale's feature map
+    (cheap gathers), the pooled [R, P, P, C] tensors are selected per roi
+    by the scale-assignment rule, and the fc6/fc7 head sees R rows — the
+    reference pushes every roi through the head at every scale (R*S)."""
     params = _cast_inference_params(params, cfg)
     off = cfg.BOX_OFFSET
     w = boxes[:, 2] - boxes[:, 0] + off
     h = boxes[:, 3] - boxes[:, 1] + off
     areas = w * h  # [R]
 
-    outs, scale_errs = [], []
+    pooled_s, scale_errs = [], []
     for s_idx, target in enumerate(cfg.TEST.SCALES):
         blob, im_scale, _ = preprocess_image(
             image, cfg.PIXEL_MEANS, target, cfg.TEST.MAX_SIZE,
             canvases[s_idx][0], canvases[s_idx][1], dtype=_blob_dtype(cfg),
         )
         feat = model.apply(params, blob[None], method="features")[0]
-        out_s = model.apply(params, feat, boxes * im_scale, method="roi_forward")
-        outs.append(out_s)
+        pooled_s.append(model.apply(params, feat, boxes * im_scale,
+                                    method="roi_pool_only"))
         # fast-rcnn's rule: minimize |area * scale^2 - 224^2| (not the
         # sqrt'd variant — the two differ near crossover points).
         scale_errs.append(jnp.abs(areas * im_scale**2 - 224.0**2))
     errs = jnp.stack(scale_errs, axis=0)  # [S, R]
     assign = jnp.argmin(errs, axis=0)  # [R]
 
-    def pick(field):
-        stacked = jnp.stack([o[field] for o in outs], axis=0)  # [S, R, ...]
-        sel = assign.reshape((1, -1) + (1,) * (stacked.ndim - 2))
-        return jnp.take_along_axis(stacked, sel, axis=0)[0]
+    stacked = jnp.stack(pooled_s, axis=0)  # [S, R, P, P, C]
+    sel = assign.reshape((1, -1) + (1,) * (stacked.ndim - 2))
+    pooled = jnp.take_along_axis(stacked, sel, axis=0)[0]  # [R, P, P, C]
+    out = model.apply(params, pooled, method="head_forward")
 
-    scores = jax.nn.softmax(pick("cls_score"), axis=-1)
-    pred = bbox_transform_inv(boxes, pick("bbox_pred"), off)
+    scores = jax.nn.softmax(out["cls_score"], axis=-1)
+    pred = bbox_transform_inv(boxes, out["bbox_pred"], off)
     h0 = jnp.asarray(image.shape[0], jnp.float32)
     w0 = jnp.asarray(image.shape[1], jnp.float32)
     return scores, clip_boxes(pred, (h0, w0), off)

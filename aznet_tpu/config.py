@@ -98,6 +98,12 @@ class TrainConfig:
     ZOOM_POS_WEIGHT: float = 1.0
     # Number of anchor regions sampled per image for AZ training.
     REGIONS_PER_IMAGE: int = 128
+    # Search-driven hard-region mining (train/mining.py): every
+    # MINE_INTERVAL steps run the CURRENT model's zoom search over
+    # MINE_IMAGES training images and mix the visited frontier regions
+    # into the anchor pool. 0 = off (reference-parity static sampler).
+    MINE_INTERVAL: int = 0
+    MINE_IMAGES: int = 32
     # Optimizer (Caffe SGD solver equivalents: momentum, weight decay, step LR).
     LEARNING_RATE: float = 0.001
     MOMENTUM: float = 0.9

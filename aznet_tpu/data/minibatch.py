@@ -106,8 +106,14 @@ def _prep_images(imdb, entries: List[dict], cfg: Config, rng, canvas=None):
     return blob, scales, gts, gt_cls
 
 
-def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -> Dict[str, np.ndarray]:
-    """AZ training batch from roidb entries (the AZ data layer's forward)."""
+def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None,
+                     mined_by_entry=None) -> Dict[str, np.ndarray]:
+    """AZ training batch from roidb entries (the AZ data layer's forward).
+
+    ``mined_by_entry``: optional per-entry [M, 4] arrays (ORIGINAL image
+    coords) of search-visited regions to mix into the anchor pool
+    (train/mining.py).
+    """
     blob, scales, gts, _ = _prep_images(imdb, entries, cfg, rng, canvas)
     templates = adjacency_templates_np(cfg.MODEL.NUM_TEMPLATES)
     b = len(entries)
@@ -124,8 +130,12 @@ def get_az_minibatch(imdb, entries: List[dict], cfg: Config, rng, canvas=None) -
     }
     for i, entry in enumerate(entries):
         hw = (entry["height"] * scales[i], entry["width"] * scales[i])
+        mined = None
+        if mined_by_entry is not None and mined_by_entry[i] is not None:
+            mined = mined_by_entry[i] * scales[i]
         regions = sample_az_regions(gts[i], hw, cfg.TRAIN, rng, offset=cfg.BOX_OFFSET,
-                                    div_overlap=cfg.SEAR.DIV_OVERLAP)
+                                    div_overlap=cfg.SEAR.DIV_OVERLAP,
+                                    extra=mined)
         labels = az_labels_for_regions(regions, gts[i], cfg.TRAIN, templates,
                                        offset=cfg.BOX_OFFSET)
         n = regions.shape[0]

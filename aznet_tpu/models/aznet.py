@@ -42,16 +42,23 @@ class AZNet(nn.Module):
     def features(self, images):
         return self.trunk(images)
 
-    def roi_forward(self, feat, rois, train: bool = False):
-        """feat: single-image [h, w, C]; rois: [R, 4] image coords."""
-        pooled = roi_pool(
+    def roi_pool_only(self, feat, rois):
+        """Pool rois from one feature map (no head) — see FRCNN's note on
+        the multi-scale pyramid's pool-select-then-head pattern."""
+        return roi_pool(
             feat,
             rois,
             1.0 / self.model_cfg.FEAT_STRIDE,
             self.model_cfg.POOL_SIZE,
             mode=self.model_cfg.POOLING_MODE,
         )
+
+    def head_forward(self, pooled, train: bool = False):
         return self.head(pooled, train=train)
+
+    def roi_forward(self, feat, rois, train: bool = False):
+        """feat: single-image [h, w, C]; rois: [R, 4] image coords."""
+        return self.head(self.roi_pool_only(feat, rois), train=train)
 
     def __call__(self, images, rois, train: bool = False):
         feat = self.features(images)

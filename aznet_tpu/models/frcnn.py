@@ -35,15 +35,23 @@ class FRCNN(nn.Module):
     def features(self, images):
         return self.trunk(images)
 
-    def roi_forward(self, feat, rois, train: bool = False):
-        pooled = roi_pool(
+    def roi_pool_only(self, feat, rois):
+        """Pool rois from one feature map (no head). The multi-scale
+        pyramid pools per scale (cheap gathers), SELECTS per roi, and runs
+        the expensive fc head once — R instead of R*S head cost."""
+        return roi_pool(
             feat,
             rois,
             1.0 / self.model_cfg.FEAT_STRIDE,
             self.model_cfg.POOL_SIZE,
             mode=self.model_cfg.POOLING_MODE,
         )
+
+    def head_forward(self, pooled, train: bool = False):
         return self.head(pooled, train=train)
+
+    def roi_forward(self, feat, rois, train: bool = False):
+        return self.head(self.roi_pool_only(feat, rois), train=train)
 
     def __call__(self, images, rois, train: bool = False):
         feat = self.features(images)

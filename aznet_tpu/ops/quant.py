@@ -95,6 +95,33 @@ def _flatten_intermediates(tree, out=None):
     return out
 
 
+def calibrate_net_on_imdb(net, imdb, n_images: int = 8,
+                          percentile: float = 100.0):
+    """Calibrate on real imdb images (TEST-scale blobs) and return the
+    int8 net: ``build`` is re-invoked with the scale-carrying config and
+    the SAME params. vgg16 trunks only."""
+    from aznet_tpu.ops.preprocess import prep_im_for_blob, im_list_to_blob
+
+    cfg = net.cfg
+    if cfg.MODEL.BACKBONE != "vgg16":
+        raise ValueError("int8 calibration supports the vgg16 trunk only")
+    ims = []
+    n = min(n_images, imdb.num_images)
+    for i in range(n):
+        im = imdb.image_array(imdb.roidb[i])
+        blob, _ = prep_im_for_blob(im, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0],
+                                   cfg.TEST.MAX_SIZE)
+        ims.append(blob)
+    images = im_list_to_blob(ims)
+    scales = calibrate_trunk_int8(net, images, percentile=percentile,
+                                  batch_size=2)
+    from aznet_tpu.api import build_az_net, build_frcnn_net
+    from aznet_tpu.models import AZNet
+
+    builder = build_az_net if isinstance(net.model, AZNet) else build_frcnn_net
+    return builder(with_int8_scales(cfg, scales), params=net.params)
+
+
 def with_int8_scales(cfg: Config, scales: Sequence[float]) -> Config:
     """cfg with COMPUTE_DTYPE='int8' and the given trunk scales."""
     model = dataclasses.replace(

@@ -103,6 +103,7 @@ def az_search(
     scfg: SearchConfig,
     num_templates: int = 11,
     offset: float = 1.0,
+    collect_frontier: bool = False,
 ):
     """Run the zoom search over one image's features.
 
@@ -113,11 +114,17 @@ def az_search(
       feat: [h, w, C] trunk features of the (scaled) image.
       im_hw: (height, width) valid extents of the scaled image; traced OK.
       scfg: search config (thresholds, caps, NMS, proposal count).
+      collect_frontier: also return every frontier region the head actually
+        evaluated (training-time hard-region mining samples anchors from
+        the model's OWN search distribution instead of only the static
+        division tree + gt jitter).
 
     Returns:
       ``(boxes [N, 4], scores [N], valid [N])`` with N = NUM_PROPOSALS, in
       the SCALED image's coordinates (callers divide by im_scale — the
-      reference's ``boxes / im_scale`` tail in im_propose).
+      reference's ``boxes / im_scale`` tail in im_propose). With
+      ``collect_frontier``: ``(boxes, scores, valid, visited [V, 4],
+      visited_valid [V])`` where V = MAX_LEVELS * FRONTIER_CAP.
     """
     r_cap = scfg.FRONTIER_CAP
     templates = adjacency_templates(num_templates)
@@ -165,9 +172,14 @@ def az_search(
     # ((8+32)/64 of two levels' worth) with bit-identical results.
     f_boxes, f_valid = init_frontier(im_h, im_w, scfg, offset, cap=sched[0])
     cand_b, cand_s = [], []
+    vis_b, vis_v = [], []  # frontier regions evaluated (collect_frontier)
     lvl = 0
     while lvl < scfg.MAX_LEVELS and sched[lvl] != r_cap:
         next_cap = sched[lvl + 1] if lvl + 1 < scfg.MAX_LEVELS else sched[lvl]
+        if collect_frontier:
+            pad = r_cap - f_boxes.shape[0]
+            vis_b.append(jnp.pad(f_boxes, ((0, pad), (0, 0))))
+            vis_v.append(jnp.pad(f_valid, (0, pad)))
         b, s, f_boxes, f_valid = level_step(f_boxes, f_valid, next_cap)
         cand_b.append(b)
         cand_s.append(s)
@@ -183,24 +195,35 @@ def az_search(
         tail_total = rem * per_level
         c_boxes0 = jnp.zeros((tail_total, 4), jnp.float32)
         c_scores0 = jnp.full((tail_total,), NEG_INF, jnp.float32)
+        v_boxes0 = jnp.zeros((rem * r_cap, 4), jnp.float32)
+        v_valid0 = jnp.zeros((rem * r_cap,), bool)
 
         def cond(state):
-            level, f_boxes, f_valid, c_boxes, c_scores = state
+            level = state[0]
+            f_valid = state[2]
             return (level < rem) & jnp.any(f_valid)
 
         def body(state):
-            level, f_boxes, f_valid, c_boxes, c_scores = state
+            level, f_boxes, f_valid, c_boxes, c_scores, vb, vv = state
+            if collect_frontier:
+                vb = jax.lax.dynamic_update_slice(
+                    vb, f_boxes, (level * r_cap, 0))
+                vv = jax.lax.dynamic_update_slice(vv, f_valid, (level * r_cap,))
             b, s, f_boxes, f_valid = level_step(f_boxes, f_valid, r_cap)
             c_boxes = jax.lax.dynamic_update_slice(
                 c_boxes, b, (level * per_level, 0))
             c_scores = jax.lax.dynamic_update_slice(
                 c_scores, s, (level * per_level,))
-            return level + 1, f_boxes, f_valid, c_boxes, c_scores
+            return level + 1, f_boxes, f_valid, c_boxes, c_scores, vb, vv
 
-        state = (jnp.asarray(0, jnp.int32), f_boxes, f_valid, c_boxes0, c_scores0)
-        _, _, _, tb, ts = jax.lax.while_loop(cond, body, state)
+        state = (jnp.asarray(0, jnp.int32), f_boxes, f_valid, c_boxes0,
+                 c_scores0, v_boxes0, v_valid0)
+        _, _, _, tb, ts, tvb, tvv = jax.lax.while_loop(cond, body, state)
         cand_b.append(tb)
         cand_s.append(ts)
+        if collect_frontier:
+            vis_b.append(tvb)
+            vis_v.append(tvv)
 
     c_boxes = jnp.concatenate(cand_b, axis=0)
     c_scores = jnp.concatenate(cand_s, axis=0)
@@ -219,4 +242,8 @@ def az_search(
         c_boxes, final_scores, scfg.NMS_THRESH, scfg.NUM_PROPOSALS,
         valid=live, offset=offset,
     )
+    if collect_frontier:
+        visited = jnp.concatenate(vis_b, axis=0)
+        visited_valid = jnp.concatenate(vis_v, axis=0)
+        return boxes, scores, valid, visited, visited_valid
     return boxes, scores, valid

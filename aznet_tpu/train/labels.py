@@ -132,13 +132,18 @@ def az_labels_for_regions(regions: np.ndarray, gt: np.ndarray,
 
 def sample_az_regions(gt: np.ndarray, im_hw, tcfg: TrainConfig, rng,
                       tree_levels: int = 3, n_per_gt: int = 8,
-                      offset: float = 1.0, div_overlap: float = 0.0) -> np.ndarray:
-    """Anchor regions for one image: division tree + jittered gt, subsampled
-    to TRAIN.REGIONS_PER_IMAGE with a positive bias."""
+                      offset: float = 1.0, div_overlap: float = 0.0,
+                      extra: np.ndarray | None = None) -> np.ndarray:
+    """Anchor regions for one image: division tree + jittered gt (+ mined
+    ``extra`` regions, e.g. search-visited frontiers from train/mining.py),
+    subsampled to TRAIN.REGIONS_PER_IMAGE with a positive bias."""
     tree = division_tree_regions(im_hw, tree_levels, offset=offset,
                                  div_overlap=div_overlap)
     jitter = perturb_gt_regions(gt, im_hw, n_per_gt, rng, offset=offset)
-    regions = np.concatenate([tree, jitter], axis=0)
+    pool = [tree, jitter]
+    if extra is not None and extra.size:
+        pool.append(np.asarray(extra, np.float32).reshape(-1, 4))
+    regions = np.concatenate(pool, axis=0)
     n = tcfg.REGIONS_PER_IMAGE
     if regions.shape[0] <= n:
         return regions

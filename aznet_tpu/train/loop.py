@@ -114,7 +114,11 @@ class _Prefetcher:
 
 
 def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
-              output_dir: str, name: str, resume: bool = True, mesh=None):
+              output_dir: str, name: str, resume: bool = True, mesh=None,
+              interval_hook=None):
+    """``interval_hook``: optional ``(interval, fn(step, state))`` called
+    every ``interval`` steps from the MAIN thread (e.g. region mining —
+    the prefetch thread must never touch device arrays)."""
     logger = MetricLogger(output_dir, name)
     ckpt = Checkpointer(output_dir, prefix=cfg.TRAIN.SNAPSHOT_PREFIX)
     start_step = 0
@@ -149,6 +153,9 @@ def _run_loop(state, step_fn, prefetcher, cfg: Config, max_iters: int,
         def batch_put(b):
             return make_global_batch(b, mesh)
     for it in range(start_step, max_iters):
+        if (interval_hook is not None and interval_hook[0] > 0
+                and it % interval_hook[0] == 0):
+            interval_hook[1](it, state)
         batch = batch_put(prefetcher.next())
         state, metrics = jstep(state, batch, rng)
         if (it + 1) % 20 == 0 or it + 1 == max_iters:
@@ -182,14 +189,31 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
     local_idx = process_local_indices(len(roidb))
     ims_local = local_batch_size(cfg.TRAIN.IMS_PER_BATCH)
 
+    miner = None
+    hook = None
+    if cfg.TRAIN.MINE_INTERVAL > 0:
+        from aznet_tpu.train.mining import RegionMiner
+
+        miner = RegionMiner(model, cfg, imdb, local_idx)
+
+        def _mine(step, st):
+            n = miner.harvest(st.params)
+            print(f"[az] mined search regions for {n} images at step {step}")
+
+        hook = (cfg.TRAIN.MINE_INTERVAL, _mine)
+
     def make_batch():
         idx = rng.choice(local_idx, size=ims_local)
-        return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng, canvas)
+        mined = ([miner.mined_for(i) for i in idx]
+                 if miner is not None else None)
+        return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng,
+                                canvas, mined_by_entry=mined)
 
     step_fn = make_az_train_step(
         model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT, cfg.TRAIN.ADJ_POS_WEIGHT))
     state = _run_loop(state, step_fn, _Prefetcher(make_batch),
-                      cfg, max_iters, output_dir, "az", mesh=mesh)
+                      cfg, max_iters, output_dir, "az", mesh=mesh,
+                      interval_hook=hook)
     # Deployment copy with normalization baked into the regression head
     # (the reference's snapshot-time unnormalization).
     if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:

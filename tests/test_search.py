@@ -201,3 +201,55 @@ def test_device_matches_oracle_with_div_overlap():
     nv = int(valid.sum())
     assert nv == len(osc)
     np.testing.assert_allclose(np.asarray(scores[:nv]), osc, atol=1e-4)
+
+
+def test_collect_frontier_consistent():
+    """collect_frontier=True returns identical proposals + the visited
+    frontier regions (level-0 block == the static seeds)."""
+    feat, roi_fwd, hw = _setup(seed=11)
+    b0, s0, v0 = jax.jit(
+        lambda f: az_search(roi_fwd, f, hw, SCFG, num_templates=5))(feat)
+    b1, s1, v1, vis, vok = jax.jit(
+        lambda f: az_search(roi_fwd, f, hw, SCFG, num_templates=5,
+                            collect_frontier=True))(feat)
+    np.testing.assert_array_equal(np.asarray(v0), np.asarray(v1))
+    np.testing.assert_allclose(np.asarray(b0), np.asarray(b1))
+    np.testing.assert_allclose(np.asarray(s0), np.asarray(s1))
+    assert vis.shape == (SCFG.MAX_LEVELS * SCFG.FRONTIER_CAP, 4)
+    vis, vok = np.asarray(vis), np.asarray(vok)
+    # Level-0 block = the seeds: whole image first.
+    assert vok[:6].all()
+    np.testing.assert_allclose(vis[0], [0, 0, hw[1] - 1, hw[0] - 1])
+    # Visited regions are inside the image.
+    assert (vis[vok][:, 2] <= hw[1] - 1 + 1e-3).all()
+    assert (vis[vok][:, 3] <= hw[0] - 1 + 1e-3).all()
+
+
+def test_region_miner_harvest():
+    from aznet_tpu.config import Config, cfg_from_dict
+    from aznet_tpu.data.synthetic import SyntheticImdb
+    from aznet_tpu.models import AZNet
+    from aznet_tpu.train.mining import RegionMiner
+
+    cfg = cfg_from_dict(Config(), {
+        "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                  "COMPUTE_DTYPE": "float32"},
+        "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 128, "MAX_LEVELS": 3,
+                 "NUM_PROPOSALS": 10, "ZOOM_THRESH": 0.1},
+        "TRAIN": {"SCALES": (64,), "MAX_SIZE": 96, "MINE_INTERVAL": 1,
+                  "MINE_IMAGES": 4},
+    })
+    imdb = SyntheticImdb(num_images=4)
+    model = AZNet(model_cfg=cfg.MODEL)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, 64, 64, 3)),
+                        jnp.array([[0.0, 0.0, 31.0, 31.0]]))
+    miner = RegionMiner(model, cfg, imdb, list(range(4)), batch_size=2)
+    n = miner.harvest(params)
+    assert n == 4
+    assert set(miner.cache.keys()) == {0, 1, 2, 3}
+    for i, v in miner.cache.items():
+        assert v.ndim == 2 and v.shape[1] == 4
+        if v.size:  # original-coordinate boxes inside the raw image
+            e = imdb.roidb[i]
+            assert v[:, 2].max() <= e["width"] and v[:, 3].max() <= e["height"]

@@ -30,6 +30,10 @@ def parse_args():
                    help="batched on-device propose/detect (canvas-bucketed; faster)")
     p.add_argument("--batch-size", type=int, default=16,
                    help="images per device batch in --batched mode")
+    p.add_argument("--int8", action="store_true",
+                   help="calibrate + run the int8 GEMM trunk (vgg16 only)")
+    p.add_argument("--calib-images", type=int, default=8,
+                   help="imdb images used for int8 activation calibration")
     p.add_argument("--output", default="output/eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -73,6 +77,12 @@ def main():
 
     imdb = get_imdb(args.imdb)
     az_net = _load_net(build_az_net, cfg, args.ckpt)
+    if args.int8:
+        from aznet_tpu.ops.quant import calibrate_net_on_imdb
+
+        az_net = calibrate_net_on_imdb(az_net, imdb,
+                                       n_images=args.calib_images)
+        print(f"int8 trunk calibrated on {args.calib_images} images")
 
     if args.mode == "recall":
         from aznet_tpu.eval.detection import evaluate_recall

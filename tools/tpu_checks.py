@@ -61,7 +61,7 @@ def check_iou():
     import jax
     import jax.numpy as jnp
 
-    from aznet_tpu.ops.iou import iou_matrix
+    from aznet_tpu.ops.iou import bbox_overlaps
     from aznet_tpu.ops.pallas.iou_kernel import bbox_overlaps_pallas
 
     rng = np.random.RandomState(5)
@@ -71,7 +71,7 @@ def check_iou():
     b[:, 2:] += b[:, :2]
     got = np.asarray(jax.jit(bbox_overlaps_pallas)(jnp.asarray(a),
                                                    jnp.asarray(b)))
-    ref = np.asarray(iou_matrix(jnp.asarray(a), jnp.asarray(b)))
+    ref = np.asarray(bbox_overlaps(jnp.asarray(a), jnp.asarray(b)))
     err = float(np.abs(got - ref).max())
     return {"ok": err < 1e-5, "max_err": err}
 
