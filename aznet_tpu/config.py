@@ -166,6 +166,10 @@ class ModelConfig:
     # for the next layer. Produced by ops/quant.py::calibrate_trunk_int8;
     # () = uncalibrated (int8 mode raises).
     INT8_SCALES: Tuple[float, ...] = ()
+    # (pooled-input scale, fc6-output scale) for int8 fc6/fc7 heads
+    # (ops/quant.py::calibrate_head_int8). () = heads stay bfloat16 even
+    # in int8 mode.
+    INT8_HEAD_SCALES: Tuple[float, ...] = ()
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

@@ -32,11 +32,14 @@ class AZNet(nn.Module):
 
     def setup(self):
         self.trunk = get_backbone(self.model_cfg)
+        mc = self.model_cfg
         self.head = AZHead(
-            num_templates=self.model_cfg.NUM_TEMPLATES,
-            fc_dim=self.model_cfg.FC_DIM,
-            dropout=self.model_cfg.DROPOUT,
+            num_templates=mc.NUM_TEMPLATES,
+            fc_dim=mc.FC_DIM,
+            dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
+            int8_scales=(tuple(mc.INT8_HEAD_SCALES)
+                         if mc.COMPUTE_DTYPE == "int8" else ()),
         )
 
     def features(self, images):

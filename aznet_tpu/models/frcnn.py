@@ -25,11 +25,14 @@ class FRCNN(nn.Module):
 
     def setup(self):
         self.trunk = get_backbone(self.model_cfg)
+        mc = self.model_cfg
         self.head = FRCNNHead(
-            num_classes=self.model_cfg.NUM_CLASSES,
-            fc_dim=self.model_cfg.FC_DIM,
-            dropout=self.model_cfg.DROPOUT,
+            num_classes=mc.NUM_CLASSES,
+            fc_dim=mc.FC_DIM,
+            dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
+            int8_scales=(tuple(mc.INT8_HEAD_SCALES)
+                         if mc.COMPUTE_DTYPE == "int8" else ()),
         )
 
     def features(self, images):

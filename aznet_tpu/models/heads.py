@@ -14,21 +14,34 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
 
 class _FCStack(nn.Module):
-    """fc6/fc7 with ReLU + dropout, shared by both heads."""
+    """fc6/fc7 with ReLU + dropout, shared by both heads.
+
+    ``int8_scales = (s_in, s_mid)`` switches inference to int8 GEMMs
+    (ops/conv_int8 quantization scheme): the pooled features quantize with
+    the calibrated trunk-output scale, fc6's output with ``s_mid``. The
+    25088x4096 fc6 kernel is the search's hot matmul AND is re-read from
+    HBM at every tree level — int8 quarters both the weight traffic and
+    the MXU time (272 TOPS vs 152 TFLOP/s bf16 on v5e). Same params.
+    """
 
     fc_dim: int = 4096
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    int8_scales: tuple = ()
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         # x: [R, P, P, C] pooled roi features.
-        x = x.reshape((x.shape[0], -1)).astype(self.dtype)
+        x = x.reshape((x.shape[0], -1))
+        if self.int8_scales and not train and not self.is_initializing():
+            return self._int8_stack(x)
+        x = x.astype(self.dtype)
         x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -36,6 +49,30 @@ class _FCStack(nn.Module):
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
+
+    def _int8_stack(self, x):
+        from aznet_tpu.ops.conv_int8 import INT8_MAX, quantize_acts
+
+        p = self.variables["params"]
+        s_in, s_mid = self.int8_scales
+
+        def int8_dense(x8, sx, name, s_out):
+            w = p[name]["kernel"].astype(jnp.float32)
+            sw = jnp.maximum(jnp.max(jnp.abs(w), axis=0) / INT8_MAX, 1e-12)
+            wq = jnp.clip(jnp.round(w / sw), -INT8_MAX, INT8_MAX
+                          ).astype(jnp.int8)
+            acc = jax.lax.dot_general(
+                x8, wq, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            y = acc.astype(jnp.float32) * (sx * sw) + p[name]["bias"]
+            y = jnp.maximum(y, 0.0)
+            if s_out is None:
+                return y.astype(self.dtype)
+            return quantize_acts(y, s_out)
+
+        x8 = quantize_acts(x.astype(jnp.float32), s_in)
+        h8 = int8_dense(x8, s_in, "fc6", s_mid)
+        return int8_dense(h8, s_mid, "fc7", None)
 
 
 class AZHead(nn.Module):
@@ -49,11 +86,13 @@ class AZHead(nn.Module):
     fc_dim: int = 4096
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    int8_scales: tuple = ()
 
     @nn.compact
     def __call__(self, roi_feats, train: bool = False):
         k = self.num_templates
-        x = _FCStack(self.fc_dim, self.dropout, self.dtype, name="fc")(roi_feats, train)
+        x = _FCStack(self.fc_dim, self.dropout, self.dtype,
+                     self.int8_scales, name="fc")(roi_feats, train)
         zoom = nn.Dense(1, dtype=jnp.float32, name="zoom_score",
                         kernel_init=nn.initializers.normal(0.01))(x)
         adj = nn.Dense(k, dtype=jnp.float32, name="adj_score",
@@ -74,10 +113,12 @@ class FRCNNHead(nn.Module):
     fc_dim: int = 4096
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
+    int8_scales: tuple = ()
 
     @nn.compact
     def __call__(self, roi_feats, train: bool = False):
-        x = _FCStack(self.fc_dim, self.dropout, self.dtype, name="fc")(roi_feats, train)
+        x = _FCStack(self.fc_dim, self.dropout, self.dtype,
+                     self.int8_scales, name="fc")(roi_feats, train)
         cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls_score",
                        kernel_init=nn.initializers.normal(0.01))(x)
         bbox = nn.Dense(4 * self.num_classes, dtype=jnp.float32, name="bbox_pred",

@@ -95,11 +95,48 @@ def _flatten_intermediates(tree, out=None):
     return out
 
 
+def calibrate_head_int8(net, images, trunk_scales, batch_size: int = 2):
+    """(s_in, s_mid) for the int8 fc6/fc7 stack.
+
+    s_in = the trunk output (conv5_3) scale — roi_align is a convex
+    combination so pooled features share its range. s_mid = calibrated
+    fc6 post-ReLU absmax over division-tree rois of the calib images.
+    """
+    import jax
+
+    images = np.asarray(images, np.float32)
+    h, w = images.shape[1:3]
+    from aznet_tpu.train.labels import division_tree_regions
+
+    rois = jnp.asarray(division_tree_regions((h, w), 2,
+                                             offset=net.cfg.BOX_OFFSET))
+    filt = lambda mdl, _: getattr(mdl, "name", None) == "fc6"
+
+    @jax.jit
+    def fc6_max(params, chunk):
+        def one(feat):
+            _, inter = net.model.apply(params, feat, rois,
+                                       method="roi_forward",
+                                       capture_intermediates=filt)
+            leaves = jax.tree_util.tree_leaves(inter)
+            return jnp.max(jnp.maximum(leaves[0].astype(jnp.float32), 0.0))
+
+        feats = net.model.apply(params, chunk, method="features")
+        return jnp.max(jax.vmap(one)(feats))
+
+    m = 0.0
+    for start in range(0, images.shape[0], batch_size):
+        chunk = jnp.asarray(images[start : start + batch_size])
+        m = max(m, float(jax.device_get(fc6_max(net.params, chunk))))
+    return (float(trunk_scales[-1]), max(m, 1e-6) / 127.0)
+
+
 def calibrate_net_on_imdb(net, imdb, n_images: int = 8,
-                          percentile: float = 100.0):
+                          percentile: float = 100.0, int8_heads: bool = True):
     """Calibrate on real imdb images (TEST-scale blobs) and return the
     int8 net: ``build`` is re-invoked with the scale-carrying config and
-    the SAME params. vgg16 trunks only."""
+    the SAME params. vgg16 trunks only; ``int8_heads`` also quantizes the
+    fc6/fc7 stack."""
     from aznet_tpu.ops.preprocess import prep_im_for_blob, im_list_to_blob
 
     cfg = net.cfg
@@ -115,16 +152,21 @@ def calibrate_net_on_imdb(net, imdb, n_images: int = 8,
     images = im_list_to_blob(ims)
     scales = calibrate_trunk_int8(net, images, percentile=percentile,
                                   batch_size=2)
+    head_scales = (calibrate_head_int8(net, images, scales)
+                   if int8_heads else ())
     from aznet_tpu.api import build_az_net, build_frcnn_net
     from aznet_tpu.models import AZNet
 
     builder = build_az_net if isinstance(net.model, AZNet) else build_frcnn_net
-    return builder(with_int8_scales(cfg, scales), params=net.params)
+    return builder(with_int8_scales(cfg, scales, head_scales),
+                   params=net.params)
 
 
-def with_int8_scales(cfg: Config, scales: Sequence[float]) -> Config:
-    """cfg with COMPUTE_DTYPE='int8' and the given trunk scales."""
+def with_int8_scales(cfg: Config, scales: Sequence[float],
+                     head_scales: Sequence[float] = ()) -> Config:
+    """cfg with COMPUTE_DTYPE='int8' and the given trunk (+head) scales."""
     model = dataclasses.replace(
         cfg.MODEL, COMPUTE_DTYPE="int8",
-        INT8_SCALES=tuple(float(s) for s in scales))
+        INT8_SCALES=tuple(float(s) for s in scales),
+        INT8_HEAD_SCALES=tuple(float(s) for s in head_scales))
     return dataclasses.replace(cfg, MODEL=model)

@@ -86,15 +86,18 @@ def _build(preset: str):
         # calibrate activation scales on-device with the bf16 net, then
         # rebuild with the int8-GEMM trunk. AZNET_BENCH_DTYPE=bfloat16
         # for the A/B reference.
-        from aznet_tpu.ops.quant import calibrate_trunk_int8, with_int8_scales
+        from aznet_tpu.ops.quant import (calibrate_head_int8,
+                                         calibrate_trunk_int8,
+                                         with_int8_scales)
 
         rngc = np.random.RandomState(7)
         calib = rngc.randint(0, 256, (2,) + canvas + (3,)).astype(np.float32)
         calib -= np.asarray(cfg.PIXEL_MEANS, np.float32)
         scales = calibrate_trunk_int8(net, calib, batch_size=2)
-        cfg = with_int8_scales(cfg, scales)
+        head_scales = calibrate_head_int8(net, calib, scales)
+        cfg = with_int8_scales(cfg, scales, head_scales)
         net = build_az_net(cfg, params=net.params)
-        print(f"# int8 trunk (calibrated {len(scales)} scales)", flush=True)
+        print(f"# int8 trunk+heads ({len(scales)}+2 scales)", flush=True)
     if len(jax.devices()) > 1:
         # Multi-chip: shard the batch over the 'data' mesh axis (the
         # parallel/inference.py path; per-chip batch stays the batch knob).

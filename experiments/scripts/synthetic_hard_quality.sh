@@ -8,7 +8,7 @@ set -euo pipefail
 cd "$(dirname "$0")/../.."
 LOG="experiments/logs/synthetic_hard_$(date +%Y%m%d_%H%M%S).log"
 exec &> >(tee "$LOG")
-CFG=experiments/cfgs/az_vgg_w25_synthetic_hard.yml
+CFG=${CFG:-experiments/cfgs/az_vgg_w25_synthetic_hard.yml}
 AZ_ITERS=${1:-8000}
 FRCNN_ITERS=${2:-6000}
 OUT=${3:-output/quality_r2}

@@ -115,3 +115,36 @@ def test_int8_requires_scales():
     with pytest.raises(ValueError, match="INT8_SCALES"):
         net.model.apply(net.params, jnp.zeros((1, 64, 64, 3)),
                         method="features")
+
+
+def test_int8_heads_match_f32_roi_forward():
+    """int8 fc6/fc7 stack tracks the f32 head closely on the same rois."""
+    from aznet_tpu.api import build_az_net
+    from aznet_tpu.config import Config, cfg_from_dict
+    from aznet_tpu.ops.quant import (calibrate_head_int8,
+                                     calibrate_trunk_int8, with_int8_scales)
+
+    cfg = cfg_from_dict(Config(), {
+        "MODEL": {"BACKBONE": "vgg16", "WIDTH": 0.125, "FC_DIM": 64,
+                  "NUM_TEMPLATES": 5, "COMPUTE_DTYPE": "float32",
+                  "DROPOUT": 0.0}})
+    net = build_az_net(cfg)
+    rng = np.random.RandomState(3)
+    images = rng.uniform(-120, 120, (2, 64, 64, 3)).astype(np.float32)
+    scales = calibrate_trunk_int8(net, images)
+    head_scales = calibrate_head_int8(net, images, scales)
+    assert len(head_scales) == 2 and all(s > 0 for s in head_scales)
+
+    net8 = build_az_net(with_int8_scales(cfg, scales, head_scales),
+                        params=net.params)
+    feat = net.model.apply(net.params, jnp.asarray(images[:1]),
+                           method="features")[0]
+    feat8 = net8.model.apply(net8.params, jnp.asarray(images[:1]),
+                             method="features")[0]
+    rois = jnp.asarray([[0.0, 0.0, 31.0, 31.0], [8.0, 8.0, 55.0, 47.0]])
+    ref = net.model.apply(net.params, feat, rois, method="roi_forward")
+    out = net8.model.apply(net8.params, feat8, rois, method="roi_forward")
+    for k in ("zoom", "adj_score"):
+        a, b = np.asarray(ref[k], np.float32), np.asarray(out[k], np.float32)
+        # logits: compare on a sigmoid-ish scale
+        assert np.abs(1 / (1 + np.exp(-a)) - 1 / (1 + np.exp(-b))).max() < 0.1
