@@ -170,6 +170,11 @@ class ModelConfig:
     # (ops/quant.py::calibrate_head_int8). () = heads stay bfloat16 even
     # in int8 mode.
     INT8_HEAD_SCALES: Tuple[float, ...] = ()
+    # Int8 trunk conv backend: "pallas" = the strip-DMA kernel (input read
+    # once, shifts + requant fused in VMEM — the fast path on TPU);
+    # "xla" = the dx-packed GEMM formulation (portable; loses to bf16 at
+    # the small-C layers, kept for CPU tests and A/B).
+    INT8_BACKEND: str = "pallas"
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

@@ -38,8 +38,11 @@ class AZNet(nn.Module):
             fc_dim=mc.FC_DIM,
             dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
+            # Heads quantize independently of the trunk: INT8_HEAD_SCALES
+            # alone enables the int8 fc stack (bf16 trunk + int8 heads is
+            # a valid, separately-benchable configuration).
             int8_scales=(tuple(mc.INT8_HEAD_SCALES)
-                         if mc.COMPUTE_DTYPE == "int8" else ()),
+                         if mc.COMPUTE_DTYPE != "float32" else ()),
         )
 
     def features(self, images):

@@ -31,7 +31,8 @@ def get_backbone(model_cfg: ModelConfig):
         return cls(dtype=dtype, width=model_cfg.WIDTH,
                    fuse_conv1=model_cfg.FUSE_CONV1,
                    int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
-                   int8_scales=tuple(model_cfg.INT8_SCALES))
+                   int8_scales=tuple(model_cfg.INT8_SCALES),
+                   int8_backend=model_cfg.INT8_BACKEND)
     if model_cfg.COMPUTE_DTYPE == "int8":
         raise ValueError(
             f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 "

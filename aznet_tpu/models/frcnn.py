@@ -32,7 +32,7 @@ class FRCNN(nn.Module):
             dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
             int8_scales=(tuple(mc.INT8_HEAD_SCALES)
-                         if mc.COMPUTE_DTYPE == "int8" else ()),
+                         if mc.COMPUTE_DTYPE != "float32" else ()),
         )
 
     def features(self, images):

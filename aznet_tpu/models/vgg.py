@@ -52,6 +52,8 @@ class VGG16Trunk(nn.Module):
     # calibrated per-layer activation scales (ops/quant.py).
     int8_mode: bool = False
     int8_scales: tuple = ()
+    # "pallas" (strip kernel, TPU) or "xla" (dx-pack GEMMs, portable).
+    int8_backend: str = "pallas"
 
     feat_stride: int = 16
 
@@ -59,8 +61,16 @@ class VGG16Trunk(nn.Module):
     def out_channels(self) -> int:
         return max(int(512 * self.width), 8)
 
+    # Layers kept in bf16 even in int8 mode (measured round 3 on v5e):
+    # conv1_1 has a 3-channel K=27 input; conv1_2/conv2_1 have C=64, which
+    # the 128-lane int8 MXU pads 2x (Pallas kernel measured 49 vs XLA bf16
+    # 84 T/s at conv2_1). Int8 starts at conv2_2 where every K >= 128
+    # (kernel wins: conv3 214 vs 147, conv4 262 vs 216 T/s).
+    _INT8_BF16_PREFIX = ("conv1_1", "conv1_2", "conv2_1")
+
     def _int8_forward(self, x):
-        """conv1_1 in `dtype`, then int8 GEMM convs (post-init apply only)."""
+        """Hybrid trunk: bf16 conv1 block + conv2_1, int8 GEMM convs after
+        (post-init apply only)."""
         from aznet_tpu.ops.conv_int8 import conv3x3_int8, quantize_acts, \
             quantize_weights
 
@@ -72,29 +82,47 @@ class VGG16Trunk(nn.Module):
                 f"{len(self.int8_scales)} scales")
         scales = dict(zip(conv_names, self.int8_scales))
         p = self.variables["params"]
+        use_pallas = (self.int8_backend == "pallas"
+                      and jax.default_backend() == "tpu")
+        if use_pallas:
+            from aznet_tpu.ops.pallas.conv_int8_kernel import (
+                conv3x3_int8_pallas, pack_weights_9)
 
         squeeze = x.ndim == 3
         if squeeze:
             x = x[None]
-        # conv1_1 + ReLU in bf16 (3-channel K=27 input conv), then quantize.
-        k = p["conv1_1"]["kernel"].astype(self.dtype)
-        y = jax.lax.conv_general_dilated(
-            x.astype(self.dtype), k, (1, 1), "SAME",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
-        y = jnp.maximum(y + p["conv1_1"]["bias"], 0.0)
-        s_x = scales["conv1_1"]
-        x = quantize_acts(y, s_x)
-        for name, ch in VGG16_LAYOUT[1:]:
+        x = x.astype(self.dtype)
+        s_x = None
+        prefix = self._INT8_BF16_PREFIX
+        for name, ch in VGG16_LAYOUT:
             if ch is None:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
-            w_q, s_w = quantize_weights(p[name]["kernel"].astype(jnp.float32))
+            if name in prefix:
+                k = p[name]["kernel"].astype(self.dtype)
+                y = jax.lax.conv_general_dilated(
+                    x, k, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=jnp.float32)
+                y = jnp.maximum(y + p[name]["bias"], 0.0)
+                if name == prefix[-1]:  # quantize into the int8 chain
+                    s_x = scales[name]
+                    x = quantize_acts(y, s_x)
+                else:
+                    x = y.astype(self.dtype)
+                continue
+            kern = p[name]["kernel"].astype(jnp.float32)
+            bias = p[name]["bias"].astype(jnp.float32)
             # conv5_3 is the trunk output: emit `dtype`, never requantize.
             s_out = scales.get(name) if name != conv_names[-1] else None
-            x = conv3x3_int8(x, s_x, w_q, s_w,
-                             p[name]["bias"].astype(jnp.float32),
-                             s_out=s_out, out_dtype=self.dtype)
+            if use_pallas:
+                w_q9, s_w = pack_weights_9(kern)
+                x = conv3x3_int8_pallas(x, s_x, w_q9, s_w, bias,
+                                        s_out=s_out, out_dtype=self.dtype)
+            else:
+                w_q, s_w = quantize_weights(kern)
+                x = conv3x3_int8(x, s_x, w_q, s_w, bias,
+                                 s_out=s_out, out_dtype=self.dtype)
             if s_out is not None:
                 s_x = s_out
         return x[0] if squeeze else x

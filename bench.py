@@ -79,13 +79,15 @@ def _build(preset: str):
         raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
         canvas = (608, 800)
     net = build_az_net(cfg)
-    dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8")
-    if (dtype == "int8" and cfg.MODEL.BACKBONE == "vgg16"
+    # AZNET_BENCH_DTYPE: bfloat16 (default) | int8 (trunk+heads) |
+    # int8_heads (bf16 trunk, int8 fc stack — measured round 3: the XLA
+    # dx-pack int8 trunk LOSES to bf16 at the small-C layers, so int8
+    # heads-only is the shipping winner until the Pallas conv kernel).
+    dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8_heads")
+    if (dtype in ("int8", "int8_heads") and cfg.MODEL.BACKBONE == "vgg16"
             and jax.devices()[0].platform != "cpu"):
-        # Int8 trunk (the round-3 headline lever, DESIGN.md finding 10):
-        # calibrate activation scales on-device with the bf16 net, then
-        # rebuild with the int8-GEMM trunk. AZNET_BENCH_DTYPE=bfloat16
-        # for the A/B reference.
+        import dataclasses
+
         from aznet_tpu.ops.quant import (calibrate_head_int8,
                                          calibrate_trunk_int8,
                                          with_int8_scales)
@@ -95,9 +97,13 @@ def _build(preset: str):
         calib -= np.asarray(cfg.PIXEL_MEANS, np.float32)
         scales = calibrate_trunk_int8(net, calib, batch_size=2)
         head_scales = calibrate_head_int8(net, calib, scales)
-        cfg = with_int8_scales(cfg, scales, head_scales)
+        if dtype == "int8":
+            cfg = with_int8_scales(cfg, scales, head_scales)
+        else:  # bf16 trunk + int8 heads
+            cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
+                cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))
         net = build_az_net(cfg, params=net.params)
-        print(f"# int8 trunk+heads ({len(scales)}+2 scales)", flush=True)
+        print(f"# dtype={dtype} ({len(scales)}+2 scales)", flush=True)
     if len(jax.devices()) > 1:
         # Multi-chip: shard the batch over the 'data' mesh axis (the
         # parallel/inference.py path; per-chip batch stays the batch knob).

@@ -140,3 +140,33 @@ def test_nms_pallas_batched_matches_per_stream():
         want = np.zeros(n, bool)
         want[nms(dets, 0.5)] = True
         np.testing.assert_array_equal(keep[b], want)
+
+
+def test_conv3x3_int8_pallas_exact_and_vmap():
+    """Strip-DMA int8 conv kernel == f32 conv on integer grids (interpret)."""
+    from aznet_tpu.ops.conv_int8 import conv3x3_f32_reference
+    from aznet_tpu.ops.pallas.conv_int8_kernel import conv3x3_int8_pallas
+
+    rng = np.random.RandomState(4)
+    x = rng.randint(-5, 6, (2, 13, 17, 8)).astype(np.float32)  # H % T != 0
+    w = rng.randint(-3, 4, (3, 3, 8, 16)).astype(np.float32)
+    b = rng.randint(-2, 3, (16,)).astype(np.float32)
+    w9 = jnp.asarray(w.reshape(9, 8, 16), jnp.int8)
+    sw = jnp.ones((16,), jnp.float32)
+    ref = np.asarray(conv3x3_f32_reference(jnp.asarray(x), jnp.asarray(w),
+                                           jnp.asarray(b)))
+    y = conv3x3_int8_pallas(jnp.asarray(x, jnp.int8), 1.0, w9, sw,
+                            jnp.asarray(b), out_dtype=jnp.float32,
+                            interpret=True)
+    np.testing.assert_array_equal(np.asarray(y), ref)
+    # int8-output path stays within the quantization grid
+    s_out = float(ref.max() / 127.0)
+    y8 = conv3x3_int8_pallas(jnp.asarray(x, jnp.int8), 1.0, w9, sw,
+                             jnp.asarray(b), s_out=s_out, interpret=True)
+    assert y8.dtype == jnp.int8
+    assert np.abs(np.asarray(y8, np.float32) * s_out - ref).max() < s_out
+    # vmap folds into the kernel grid
+    yv = jax.vmap(lambda xx: conv3x3_int8_pallas(
+        xx[None], 1.0, w9, sw, jnp.asarray(b), out_dtype=jnp.float32,
+        interpret=True)[0])(jnp.asarray(x, jnp.int8))
+    np.testing.assert_array_equal(np.asarray(yv), ref)
