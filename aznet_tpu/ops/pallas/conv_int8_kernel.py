@@ -74,8 +74,15 @@ def _kernel(s_x, s_out, t_rows, w_out, out_dtype,
     out_ref[0] = out.reshape(t_rows, w_out, co)
 
 
+def _auto_t_rows(h: int, w: int) -> int:
+    """Strip height: aim for T*W ~ 2-3k matmul rows (MXU-efficient M)
+    without exceeding the VMEM budget; multiples of 8, capped at 32."""
+    t = -(-2048 // max(w, 1) // 8) * 8
+    return int(min(32, max(8, min(t, -(-h // 8) * 8))))
+
+
 def conv3x3_int8_pallas(x_i8, s_x, w_q9, s_w, bias, s_out=None,
-                        out_dtype=jnp.bfloat16, t_rows: int = 8,
+                        out_dtype=jnp.bfloat16, t_rows: int | None = None,
                         interpret: bool = False):
     """3x3/SAME conv + ReLU on int8 activations (strip kernel).
 
@@ -86,6 +93,8 @@ def conv3x3_int8_pallas(x_i8, s_x, w_q9, s_w, bias, s_out=None,
     kernel's own batch grid (the default pallas batching rule would
     block the ANY-space input, which the TPU lowering rejects).
     """
+    if t_rows is None:
+        t_rows = _auto_t_rows(x_i8.shape[1], x_i8.shape[2])
 
     @jax.custom_batching.custom_vmap
     def conv(x, w9, sw, b_):
