@@ -75,10 +75,13 @@ def _kernel(s_x, s_out, t_rows, w_out, out_dtype,
 
 
 def _auto_t_rows(h: int, w: int) -> int:
-    """Strip height: aim for T*W ~ 2-3k matmul rows (MXU-efficient M)
-    without exceeding the VMEM budget; multiples of 8, capped at 32."""
-    t = -(-2048 // max(w, 1) // 8) * 8
-    return int(min(32, max(8, min(t, -(-h // 8) * 8))))
+    """Strip height from the round-3 hardware sweep: T=8 or 16 only —
+    larger strips measured 2-3x SLOWER (VMEM pressure kills the automatic
+    cross-step overlap), and wide layers prefer 8-16 regardless of the
+    naive M=T*W reasoning. Best-by-shape: W>=300 -> 16, W in [150,300) ->
+    mixed (8 and 16 within noise; use 16 for C<=128 inputs' larger M),
+    W<150 -> 8."""
+    return 16 if w >= 150 else 8
 
 
 def conv3x3_int8_pallas(x_i8, s_x, w_q9, s_w, bias, s_out=None,
