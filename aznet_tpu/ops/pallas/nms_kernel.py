@@ -37,10 +37,10 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-TILE = 256
+TILE = 256  # default; nms_pallas_batched(tile=...) overrides for tuning
 
 
-def _nms_kernel(offset, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
+def _nms_kernel(offset, TILE, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
     """Blocks per (b, i) step: lane (1,4,N), sub (1,TILE,4) [tile i],
     valid (1,1,N), keep (1,tiles,TILE) [stream-resident carry]."""
     i = pl.program_id(1)
@@ -102,7 +102,7 @@ def _nms_kernel(offset, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref):
 
 
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
-                       interpret: bool = False):
+                       interpret: bool = False, tile: int = TILE):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
     (grid = streams x tiles)."""
@@ -116,8 +116,8 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     sboxes = sboxes.astype(jnp.float32)
     svalid = jnp.take_along_axis(valid, order, axis=1)
 
-    n_pad = int(-(-n // TILE) * TILE)
-    num_tiles = n_pad // TILE
+    n_pad = int(-(-n // tile) * tile)
+    num_tiles = n_pad // tile
     pad = n_pad - n
     sboxes = jnp.pad(sboxes, ((0, 0), (0, pad), (0, 0)))
     svalid_f = jnp.pad(svalid.astype(jnp.float32), ((0, 0), (0, pad)))
@@ -127,20 +127,20 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     thresh_arr = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
     keep_rows = pl.pallas_call(
-        partial(_nms_kernel, offset),
+        partial(_nms_kernel, offset, tile),
         grid=(bsz, num_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, 4, n_pad), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, TILE, 4), lambda b, i: (b, i, 0),
+            pl.BlockSpec((1, tile, 4), lambda b, i: (b, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, num_tiles, TILE), lambda b, i: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, num_tiles, tile), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bsz, num_tiles, TILE), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((bsz, num_tiles, tile), jnp.float32),
         interpret=interpret,
     )(thresh_arr, lane, sub, svalid_f.reshape(bsz, 1, n_pad))
 
