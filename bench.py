@@ -227,24 +227,36 @@ def _bench_nms_secondary():
     wh = rng.uniform(5, 300, (batch, n, 2)).astype(np.float32)
     b = jnp.asarray(np.concatenate([xy, xy + wh], -1))
     s = jnp.asarray(rng.rand(batch, n).astype(np.float32))
-    reps = 2
 
-    @jax.jit
-    def pipe(b, s):
+    def pipe_n(reps):
         # Scan the reps inside one program: per-call dispatch latency on a
         # remote backend otherwise dominates the kernel.
-        def step(c, _):
-            # Natively batched kernel: one launch, grid = streams x tiles.
-            keep = nms_pallas_batched(b, s + c * 1e-9, 0.5)
-            return c + jnp.sum(keep.astype(jnp.float32)) * 1e-20, None
-        acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
-        return acc
+        @jax.jit
+        def pipe(b, s):
+            def step(c, _):
+                # Natively batched kernel: one launch, grid = streams x tiles.
+                keep = nms_pallas_batched(b, s + c * 1e-9, 0.5, tile=512)
+                return c + jnp.sum(keep.astype(jnp.float32)) * 1e-20, None
+            acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+            return acc
+        return pipe
 
-    float(pipe(b, s))
-    float(pipe(b, s))
-    t0 = time.perf_counter()
-    float(pipe(b, s))
-    dt = (time.perf_counter() - t0) / reps
+    # Difference two scan lengths to cancel the per-dispatch round-trip (a
+    # single timed dispatch measures the relay's ~30 ms latency, not the
+    # kernel: round-2's 3.57 Mboxes/s "regime gap" was exactly this).
+    lo, hi = 4, 20
+    plo, phi = pipe_n(lo), pipe_n(hi)
+    float(plo(b, s))
+    float(phi(b, s))
+    tlo = thi = 0.0
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(plo(b, s))
+        tlo += time.perf_counter() - t0
+        t0 = time.perf_counter()
+        float(phi(b, s))
+        thi += time.perf_counter() - t0
+    dt = (thi - tlo) / 3 / (hi - lo)
     return round(batch * n / dt / 1e6, 2)
 
 
