@@ -1,5 +1,6 @@
 """Pallas kernels vs host/pure-JAX oracles (interpreter mode on CPU)."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -122,8 +123,13 @@ def test_fused_conv1_pool_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-def test_nms_pallas_batched_matches_per_stream():
-    """Native multi-stream launch == independent per-stream greedy NMS."""
+@pytest.mark.parametrize("tile", [256, 512])
+def test_nms_pallas_batched_matches_per_stream(tile):
+    """Native multi-stream launch == independent per-stream greedy NMS.
+
+    tile=512 is the bench default (the 16x4096 sweep winner); 256 covers
+    the multi-tile cross-suppression path at this N.
+    """
     from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
 
     rng = np.random.RandomState(9)
@@ -134,7 +140,7 @@ def test_nms_pallas_batched_matches_per_stream():
     scores = rng.rand(bsz, n).astype(np.float32)
     keep = np.asarray(nms_pallas_batched(jnp.asarray(boxes),
                                          jnp.asarray(scores), 0.5,
-                                         interpret=True))
+                                         interpret=True, tile=tile))
     for b in range(bsz):
         dets = np.concatenate([boxes[b], scores[b][:, None]], -1)
         want = np.zeros(n, bool)
