@@ -211,7 +211,12 @@ def detect_all_batched(az_net: Net, frcnn_net: Net, imdb,
     from aznet_tpu.ops.preprocess import compute_scale
 
     if fused is None:
-        fused = trunks_shared(az_net, frcnn_net)
+        # Auto-fuse needs identical math, not just shared trunk weights:
+        # the fused program preprocesses once with the AZ TEST config while
+        # the two-program path builds the detect blob from the FRCNN one —
+        # differing scales would silently run the head at the wrong scale.
+        fused = (trunks_shared(az_net, frcnn_net)
+                 and _test_cfgs_compatible(az_net.cfg, frcnn_net.cfg))
     if fused:
         return detect_all_fused(az_net, frcnn_net, imdb,
                                 batch_size=batch_size, max_images=max_images,
@@ -276,6 +281,13 @@ def detect_all_batched(az_net: Net, frcnn_net: Net, imdb,
     return all_boxes
 
 
+def _test_cfgs_compatible(cfg_az, cfg_frcnn) -> bool:
+    """True iff the fused single-preprocess program is numerically
+    equivalent to the two-program path (same blob geometry)."""
+    return (tuple(cfg_az.TEST.SCALES) == tuple(cfg_frcnn.TEST.SCALES)
+            and cfg_az.TEST.MAX_SIZE == cfg_frcnn.TEST.MAX_SIZE)
+
+
 def detect_all_fused(az_net: Net, frcnn_net: Net, imdb,
                      batch_size: int = 16,
                      max_images: Optional[int] = None,
@@ -297,6 +309,13 @@ def detect_all_fused(az_net: Net, frcnn_net: Net, imdb,
     if not trunks_shared(az_net, frcnn_net):
         raise ValueError("detect_all_fused needs share_trunk'd nets "
                          "(identical trunk params)")
+    if not _test_cfgs_compatible(az_net.cfg, frcnn_net.cfg):
+        raise ValueError(
+            "detect_all_fused preprocesses ONCE with the AZ TEST config; "
+            f"FRCNN TEST geometry differs (AZ {az_net.cfg.TEST.SCALES}/"
+            f"{az_net.cfg.TEST.MAX_SIZE} vs FRCNN {frcnn_net.cfg.TEST.SCALES}"
+            f"/{frcnn_net.cfg.TEST.MAX_SIZE}) — results would not match the "
+            "two-program path")
     cfg = frcnn_net.cfg
     cfg_az = az_net.cfg
     n = min(imdb.num_images, max_images or imdb.num_images)

@@ -79,10 +79,11 @@ def _build(preset: str):
         raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
         canvas = (608, 800)
     net = build_az_net(cfg)
-    # AZNET_BENCH_DTYPE: bfloat16 (default) | int8 (trunk+heads) |
-    # int8_heads (bf16 trunk, int8 fc stack — measured round 3: the XLA
-    # dx-pack int8 trunk LOSES to bf16 at the small-C layers, so int8
-    # heads-only is the shipping winner until the Pallas conv kernel).
+    # AZNET_BENCH_DTYPE: int8_heads (DEFAULT since round 3: bf16 trunk +
+    # int8 fc stack, the measured end-to-end winner at 300.5 vs 289.6
+    # img/s) | int8 (hybrid int8 trunk + int8 heads) | bfloat16 (the
+    # round-1/2 configuration, for apples-to-apples with BENCH_r01/r02).
+    # The int8 paths add a short activation-calibration pass at startup.
     dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8_heads")
     if (dtype in ("int8", "int8_heads") and cfg.MODEL.BACKBONE == "vgg16"
             and jax.devices()[0].platform != "cpu"):

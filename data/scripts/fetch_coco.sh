@@ -7,7 +7,8 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 mkdir -p coco && cd coco
 
-SPLITS=("${@:-train2014 val2014}")
+SPLITS=("$@")
+[ ${#SPLITS[@]} -eq 0 ] && SPLITS=(train2014 val2014)
 
 fetch() {
   if command -v curl >/dev/null; then curl -fL --retry 3 -O "$1"
@@ -18,7 +19,7 @@ if [ ! -d annotations ]; then
   fetch "http://images.cocodataset.org/annotations/annotations_trainval2014.zip"
   unzip -q annotations_trainval2014.zip
 fi
-for s in $SPLITS; do
+for s in "${SPLITS[@]}"; do
   if [ ! -d "$s" ]; then
     fetch "http://images.cocodataset.org/zips/${s}.zip"
     unzip -q "${s}.zip"

@@ -10,6 +10,7 @@ actual chip and checks them against independent oracles:
   bbox_overlaps     (Pallas tiled) vs broadcast jnp IoU
   roi_align_pallas  vs the XLA separable-matmul roi_align
   int8 GEMM conv    vs the f32 XLA conv (exact on integer grids)
+  int8 strip kernel (the shipping Pallas Mosaic path) vs the f32 conv
   az_search         (device program, smallnet) vs the NumPy oracle
 
 Usage:  python tools/tpu_checks.py [--out TPUCHECK.json]
@@ -121,6 +122,37 @@ def check_int8_conv():
     return {"ok": err == 0.0, "max_err": err}
 
 
+def check_int8_conv_pallas():
+    """The SHIPPING int8 path: the Mosaic strip kernel, not the XLA dots.
+
+    MODEL.INT8_BACKEND defaults to 'pallas'; a Mosaic lowering regression
+    here would otherwise only surface as silently wrong bench/eval numbers
+    (the CPU tests run the kernel in interpret mode only).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.conv_int8 import conv3x3_f32_reference
+    from aznet_tpu.ops.pallas.conv_int8_kernel import conv3x3_int8_pallas
+
+    rng = np.random.RandomState(13)
+    # C=128/K=256 exercises the real lane layout; H%T!=0 exercises the
+    # tail strip; values on the integer grid make the check exact.
+    x = rng.randint(-5, 6, (2, 37, 25, 128)).astype(np.float32)
+    w = rng.randint(-3, 4, (3, 3, 128, 256)).astype(np.float32)
+    b = rng.randint(-2, 3, (256,)).astype(np.float32)
+    w9 = jnp.asarray(w.reshape(9, 128, 256), jnp.int8)
+    sw = jnp.ones((256,), jnp.float32)
+    y = np.asarray(jax.jit(
+        lambda xi, wq, bb: conv3x3_int8_pallas(xi, 1.0, wq, sw, bb,
+                                               out_dtype=jnp.float32))(
+        jnp.asarray(x, jnp.int8), w9, jnp.asarray(b)))
+    ref = np.asarray(conv3x3_f32_reference(jnp.asarray(x), jnp.asarray(w),
+                                           jnp.asarray(b)))
+    err = float(np.abs(y - ref).max())
+    return {"ok": err == 0.0, "max_err": err}
+
+
 def check_search():
     import jax
     import jax.numpy as jnp
@@ -164,6 +196,7 @@ CHECKS = {
     "iou_pallas_vs_jnp": check_iou,
     "roi_align_pallas_vs_xla": check_roi_align,
     "int8_conv_vs_f32_exact": check_int8_conv,
+    "int8_conv_pallas_strip_vs_f32_exact": check_int8_conv_pallas,
     "az_search_device_vs_oracle": check_search,
 }
 
