@@ -58,7 +58,14 @@ def make_optimizer(tcfg: TrainConfig, params=None):
         tx.insert(0, optax.clip_by_global_norm(tcfg.GRAD_CLIP))
     if tcfg.FREEZE_PREFIXES:
         # Zero frozen-layer gradients before everything else (the reference's
-        # lr_mult=0 on early conv blocks when fine-tuning).
-        tx.insert(0, optax.masked(optax.set_to_zero(),
-                                  _freeze_mask(tcfg.FREEZE_PREFIXES)))
+        # lr_mult=0 on early conv blocks when fine-tuning) — keeps them out
+        # of the global-norm clip...
+        mask = _freeze_mask(tcfg.FREEZE_PREFIXES)
+        tx.insert(0, optax.masked(optax.set_to_zero(), mask))
+        # ...and zero the FINAL update too: add_decayed_weights contributes
+        # wd*param regardless of the (zeroed) gradient, which would slowly
+        # shrink "frozen" params (~lr*wd per step) and in particular break
+        # exact trunk sharing between AZ and FRCNN (decay_mult=0 on frozen
+        # layers, matching the reference's lr_mult=0 + decay_mult=0 pairing).
+        tx.append(optax.masked(optax.set_to_zero(), mask))
     return optax.chain(*tx)

@@ -78,6 +78,11 @@ def _build(preset: str):
         cfg = Config()  # VGG-16, SEAR defaults (depth 6, cap 64, N=300)
         raw_hw = (375, 500)  # classic VOC size -> x1.6 -> 600x800
         canvas = (608, 800)
+    # AZNET_BENCH_POOLING: override MODEL.POOLING_MODE ("align" default |
+    # "align_pallas" fused-VMEM kernel) to A/B the roi op in the pipeline.
+    if os.environ.get("AZNET_BENCH_POOLING"):
+        cfg = cfg_from_dict(
+            cfg, {"MODEL": {"POOLING_MODE": os.environ["AZNET_BENCH_POOLING"]}})
     net = build_az_net(cfg)
     # AZNET_BENCH_DTYPE: int8_heads (DEFAULT since round 3: bf16 trunk +
     # int8 fc stack, the measured end-to-end winner at 300.5 vs 289.6

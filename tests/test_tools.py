@@ -100,3 +100,50 @@ def test_ingest_data_status_and_voc(tmp_path):
         cwd=REPO, env=env, timeout=120, capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-500:]
     assert "linked:" in r.stdout and "0 images" in r.stdout
+
+
+def test_frcnn_init_trunk_from_stays_shared(tmp_path):
+    """--init-trunk-from: FRCNN trains with the AZ trunk frozen; after
+    training the two trunks are byte-identical, so share_trunk is a no-op
+    and the fused shared-trunk detect program is valid (with real mAP)."""
+    az_out = str(tmp_path / "az")
+    r = _run(["tools/train_net.py", "--cpu", "--net", "az",
+              "--imdb", "synthetic_val", "--iters", "4", "--output", az_out]
+             + SMALL_SET)
+    assert r.returncode == 0, r.stderr[-800:]
+
+    fr_out = str(tmp_path / "frcnn")
+    r2 = _run(["tools/train_net.py", "--cpu", "--net", "frcnn",
+               "--imdb", "synthetic_val", "--iters", "4", "--output", fr_out,
+               "--init-trunk-from", az_out] + SMALL_SET)
+    assert r2.returncode == 0, r2.stderr[-800:]
+    assert "trunk frozen" in r2.stdout
+
+    import numpy as np
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from aznet_tpu.api import (build_az_net, build_frcnn_net, share_trunk,
+                               trunks_shared)
+    from aznet_tpu.config import Config, cfg_from_list
+    from aznet_tpu.utils.checkpoint import Checkpointer
+
+    cfg = cfg_from_list(Config(), SMALL_SET[1:])
+    az = build_az_net(cfg)
+    restored_az, _ = Checkpointer(az_out + "/deploy").restore(
+        {"params": az.params})
+    az.params = restored_az["params"]
+    fr = build_frcnn_net(cfg)
+    restored, _ = Checkpointer(fr_out + "/deploy").restore({"params": fr.params})
+    fr.params = restored["params"]
+    # byte-identical trunk VALUES after training (the actual guarantee)...
+    a = jax.tree_util.tree_leaves(az.params["params"]["trunk"])
+    b = jax.tree_util.tree_leaves(fr.params["params"]["trunk"])
+    assert len(a) == len(b) and len(a) > 0
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # ...so share_trunk at load time is a numerical no-op that enables the
+    # fused program (trunks_shared is an identity check by design).
+    share_trunk(fr, az)
+    assert trunks_shared(az, fr)

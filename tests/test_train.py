@@ -148,3 +148,36 @@ def test_dropout_masks_differ_per_image():
     loss, _ = az_loss(model, state.params, batch,
                       dropout_rng=jax.random.PRNGKey(3))
     assert np.isfinite(float(loss))
+
+
+def test_frozen_prefixes_exactly_frozen_under_weight_decay():
+    """FREEZE_PREFIXES must stop weight decay too, not just gradients —
+    otherwise add_decayed_weights shrinks "frozen" params by ~lr*wd per
+    step and an AZ-initialized FRCNN trunk drifts out of exact sharing."""
+    import dataclasses
+
+    import optax
+
+    from aznet_tpu.train.optim import make_optimizer
+
+    tcfg = dataclasses.replace(
+        Config().TRAIN, FREEZE_PREFIXES=("trunk",), WEIGHT_DECAY=5e-4,
+        LEARNING_RATE=0.1, GRAD_CLIP=10.0)
+    params = {
+        "params": {
+            "trunk": {"conv": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)}},
+            "head": {"kernel": jnp.ones((3, 3)), "bias": jnp.ones(3)},
+        }
+    }
+    tx = make_optimizer(tcfg)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+    p = params
+    for _ in range(5):
+        updates, opt_state = tx.update(grads, opt_state, p)
+        p = optax.apply_updates(p, updates)
+    trunk = p["params"]["trunk"]["conv"]
+    np.testing.assert_array_equal(np.asarray(trunk["kernel"]), 1.0)
+    np.testing.assert_array_equal(np.asarray(trunk["bias"]), 1.0)
+    # unfrozen params did move
+    assert not np.allclose(np.asarray(p["params"]["head"]["kernel"]), 1.0)

@@ -54,6 +54,20 @@ def main():
     imdb = get_imdb(args.imdb)
     az_net = _load_net(build_az_net, cfg, args.ckpt)
     frcnn_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
+    # If the FRCNN was trained with --init-trunk-from (frozen AZ trunk),
+    # share_trunk is a numerical no-op and the reported mAPs are the real
+    # detection quality. Otherwise the trunks differ, share_trunk changes
+    # the FRCNN's features, and ONLY the fused-vs-unfused parity/speedup
+    # fields are meaningful (absolute mAP is that of a mismatched head).
+    import numpy as np
+
+    import jax
+
+    trunks_equal = all(
+        np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(az_net.params["params"]["trunk"]),
+            jax.tree_util.tree_leaves(frcnn_net.params["params"]["trunk"])))
     share_trunk(frcnn_net, az_net)
 
     n = min(imdb.num_images, args.max_images or imdb.num_images)
@@ -76,8 +90,6 @@ def main():
             [c[:n] for c in all_boxes], imdb.roidb[:n], imdb.num_classes)
         results[f"map_{name}"] = round(float(aps["mAP"]), 4)
 
-    import numpy as np
-
     same = all(
         a.shape == b.shape and np.allclose(a, b, atol=1e-3)
         for ca, cb in zip(boxes["fused"], boxes["unfused"])
@@ -85,6 +97,11 @@ def main():
     results["speedup"] = round(
         results["fused_img_per_sec"] / results["unfused_img_per_sec"], 3)
     results["identical"] = bool(same)
+    results["trunks_value_equal"] = bool(trunks_equal)
+    if not trunks_equal:
+        results["map_note"] = ("trunks differ; mAP is for the share_trunk'd "
+                               "mismatched head — use an --init-trunk-from "
+                               "FRCNN checkpoint for real mAP")
     print(json.dumps(results))
 
 

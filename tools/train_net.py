@@ -31,6 +31,12 @@ def parse_args():
     p.add_argument("--proposals", default=None,
                    help="frcnn: pickle of per-image proposal arrays")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
+    p.add_argument("--init-trunk-from", default=None, metavar="AZ_CKPT",
+                   help="(frcnn only) AZ checkpoint dir whose trunk params "
+                        "initialize the FRCNN trunk; the trunk is auto-added "
+                        "to TRAIN.FREEZE_PREFIXES so it stays byte-identical "
+                        "and share_trunk/the fused detect program apply "
+                        "(the paper's shared-trunk evaluation)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", default=None,
                    help="data[xmodel] device mesh, e.g. '8' or '4x2'")
@@ -98,9 +104,38 @@ def main():
                     e["boxes"], (e["height"], e["width"]), 16, rng
                 )
 
+        state = None
+        if args.init_trunk_from:
+            import dataclasses
+
+            from aznet_tpu.api import build_az_net
+            from aznet_tpu.models.frcnn import FRCNN
+            from aznet_tpu.train.train_frcnn import make_frcnn_train_state
+            from aznet_tpu.utils.checkpoint import Checkpointer
+
+            if "trunk" not in cfg.TRAIN.FREEZE_PREFIXES:
+                cfg = dataclasses.replace(cfg, TRAIN=dataclasses.replace(
+                    cfg.TRAIN,
+                    FREEZE_PREFIXES=cfg.TRAIN.FREEZE_PREFIXES + ("trunk",)))
+            az_net = build_az_net(cfg)
+            path = args.init_trunk_from
+            deploy = os.path.join(path, "deploy")
+            if os.path.isdir(deploy):
+                path = deploy  # trunk params are identical in deploy copies
+            restored, step = Checkpointer(path).restore({"params": az_net.params})
+            print(f"init trunk from {path} (step {step}); trunk frozen")
+            model = FRCNN(model_cfg=cfg.MODEL)
+            state = make_frcnn_train_state(
+                cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
+            params = dict(state.params)
+            params["params"] = {
+                **state.params["params"],
+                "trunk": restored["params"]["params"]["trunk"],
+            }
+            state = state.replace(params=params)
         state, model, outdir = train_frcnn_net(
             cfg, args.imdb, proposals_fn, max_iters=args.iters,
-            output_dir=args.output, mesh=mesh
+            output_dir=args.output, mesh=mesh, state=state
         )
     print(f"done; checkpoints in {outdir}")
 
