@@ -17,9 +17,14 @@ python tools/train_net.py --net az --imdb synthetic_hard_train --cfg $CFG \
     --iters "$AZ_ITERS" --output "$OUT/az"
 python tools/propose_net.py --imdb synthetic_hard_train --cfg $CFG \
     --ckpt "$OUT/az" --batched --out "$OUT/proposals_train.pkl"
+# SHARED=1: train the FRCNN head against the FROZEN AZ trunk
+# (--init-trunk-from) so the fused single-program detect path serves with
+# real mAP (the paper's shared-trunk evaluation; also halves detect-time
+# trunk compute).
 python tools/train_net.py --net frcnn --imdb synthetic_hard_train --cfg $CFG \
     --iters "$FRCNN_ITERS" --output "$OUT/frcnn" \
-    --proposals "$OUT/proposals_train.pkl"
+    --proposals "$OUT/proposals_train.pkl" \
+    ${SHARED:+--init-trunk-from "$OUT/az"}
 python tools/test_net.py --mode recall --imdb synthetic_hard_test --cfg $CFG \
     --ckpt "$OUT/az" --batched
 python tools/test_net.py --mode detect --imdb synthetic_hard_test --cfg $CFG \
