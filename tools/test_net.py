@@ -34,6 +34,13 @@ def parse_args():
                    help="calibrate + run the int8 GEMM trunk (vgg16 only)")
     p.add_argument("--calib-images", type=int, default=8,
                    help="imdb images used for int8 activation calibration")
+    p.add_argument("--share-trunk", action="store_true",
+                   help="detect mode: copy the AZ trunk into the FRCNN net "
+                        "(api.share_trunk); with --batched, detect auto-"
+                        "dispatches to the fused single-program path; pair "
+                        "with an FRCNN "
+                        "checkpoint trained via train_net --init-trunk-from "
+                        "or the reported mAP is that of a mismatched head")
     p.add_argument("--output", default="output/eval")
     p.add_argument("--cpu", action="store_true")
     return p.parse_args()
@@ -96,6 +103,11 @@ def main():
         from aznet_tpu.eval.detection import detect_all, detect_all_batched
 
         frcnn_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
+        if args.share_trunk:
+            from aznet_tpu.api import share_trunk
+
+            share_trunk(frcnn_net, az_net)
+            print("trunk shared: fused single-program detect path enabled")
         cache = os.path.join(args.output, "detections.pkl")
         if args.batched:
             all_boxes = detect_all_batched(az_net, frcnn_net, imdb,
