@@ -15,7 +15,14 @@ import numpy as np
 
 
 def main():
+    import sys
+
     import jax
+
+    if "--cpu" in sys.argv:
+        # The ambient sitecustomize force-selects the remote-TPU platform;
+        # env vars alone do NOT override it (see .claude/skills/verify).
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
     from aznet_tpu.ops.nms import nms_mask, nms
@@ -33,18 +40,36 @@ def main():
     on_tpu = jax.devices()[0].platform != "cpu"
     results = {}
 
-    def bench_device(name, fn, n, reps=20):
+    def bench_device(name, fn, n, lo=4, hi=20):
+        # Scan-difference timing (DESIGN.md findings 16a/17): reps scanned
+        # INSIDE one jitted program with an unfoldable carry dependency,
+        # then two scan lengths differenced — a per-call loop on the remote
+        # relay measures its ~30 ms dispatch latency, not the kernel.
         d = dets_of(n)
         b, s = jnp.asarray(d[:, :4]), jnp.asarray(d[:, 4])
-        f = jax.jit(fn)
-        out = f(b, s)
-        float(jnp.sum(out.astype(jnp.float32)))
-        t0 = time.perf_counter()
-        acc = jnp.float32(0)
-        for _ in range(reps):
-            acc = acc + jnp.sum(f(b, s).astype(jnp.float32))
-        float(acc)
-        dt = (time.perf_counter() - t0) / reps
+
+        def pipe_n(reps):
+            @jax.jit
+            def pipe(b, s):
+                def step(c, _):
+                    out = fn(b, s + c * 1e-9)
+                    return c + jnp.sum(out.astype(jnp.float32)) * 1e-20, None
+                acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
+                return acc
+            return pipe
+
+        plo, phi = pipe_n(lo), pipe_n(hi)
+        float(plo(b, s))
+        float(phi(b, s))
+        tlo = thi = 0.0
+        for _ in range(3):
+            t0 = time.perf_counter()
+            float(plo(b, s))
+            tlo += time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(phi(b, s))
+            thi += time.perf_counter() - t0
+        dt = (thi - tlo) / 3 / (hi - lo)
         results[f"{name}_n{n}"] = round(n / dt / 1e6, 3)
 
     if on_tpu:
