@@ -31,12 +31,24 @@ def parse_args():
     p.add_argument("--proposals", default=None,
                    help="frcnn: pickle of per-image proposal arrays")
     p.add_argument("--resume", default=None, help="checkpoint dir to resume from")
-    p.add_argument("--init-trunk-from", default=None, metavar="AZ_CKPT",
-                   help="(frcnn only) AZ checkpoint dir whose trunk params "
-                        "initialize the FRCNN trunk; the trunk is auto-added "
-                        "to TRAIN.FREEZE_PREFIXES so it stays byte-identical "
-                        "and share_trunk/the fused detect program apply "
-                        "(the paper's shared-trunk evaluation)")
+    p.add_argument("--init-trunk-from", default=None, metavar="CKPT",
+                   help="checkpoint dir whose trunk params initialize this "
+                        "net's trunk; unless --trunk-trainable, the trunk is "
+                        "auto-added to TRAIN.FREEZE_PREFIXES so it stays "
+                        "byte-identical and share_trunk/the fused detect "
+                        "program apply. Enables the faster-rcnn-style "
+                        "alternating scheme: (1) train az; (2) train frcnn "
+                        "--init-trunk-from AZ --trunk-trainable (joint "
+                        "finetune, warm start); (3) retrain az "
+                        "--init-trunk-from FRCNN (frozen) -> both nets share "
+                        "the detector's trunk exactly, each head trained "
+                        "for it")
+    p.add_argument("--trunk-trainable", action="store_true",
+                   help="with --init-trunk-from: warm-start the trunk but "
+                        "keep it trainable (no freeze)")
+    p.add_argument("--init-trunk-type", choices=("az", "frcnn"), default=None,
+                   help="net type of the --init-trunk-from checkpoint "
+                        "(default: the opposite of --net)")
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
     p.add_argument("--mesh", default=None,
                    help="data[xmodel] device mesh, e.g. '8' or '4x2'")
@@ -78,10 +90,57 @@ def main():
         mesh = make_mesh(data * model_par, model_parallel=model_par)
         print(f"mesh: {dict(mesh.shape)}")
 
+    def trunk_init_state(cfg):
+        """(cfg', state) warm-started from --init-trunk-from (or (cfg, None)).
+
+        The donor checkpoint may be of either net type (identical 'trunk'
+        subtree); unless --trunk-trainable the trunk is frozen exactly
+        (gradients AND weight decay) so it stays byte-identical.
+        """
+        if not args.init_trunk_from:
+            return cfg, None
+        import dataclasses
+
+        from aznet_tpu.api import build_az_net, build_frcnn_net
+        from aznet_tpu.models import AZNet, FRCNN
+        from aznet_tpu.train.train_az import make_az_train_state
+        from aznet_tpu.train.train_frcnn import make_frcnn_train_state
+        from aznet_tpu.utils.checkpoint import Checkpointer
+
+        frozen = not args.trunk_trainable
+        if frozen and "trunk" not in cfg.TRAIN.FREEZE_PREFIXES:
+            cfg = dataclasses.replace(cfg, TRAIN=dataclasses.replace(
+                cfg.TRAIN,
+                FREEZE_PREFIXES=cfg.TRAIN.FREEZE_PREFIXES + ("trunk",)))
+        donor = args.init_trunk_type or ("frcnn" if args.net == "az" else "az")
+        donor_net = (build_az_net if donor == "az" else build_frcnn_net)(cfg)
+        path = args.init_trunk_from
+        deploy = os.path.join(path, "deploy")
+        if os.path.isdir(deploy):
+            path = deploy  # trunk params are identical in deploy copies
+        restored, step = Checkpointer(path).restore({"params": donor_net.params})
+        print(f"init trunk from {donor} ckpt {path} (step {step}); "
+              f"trunk {'frozen' if frozen else 'trainable (warm start)'}")
+        if args.net == "az":
+            model = AZNet(model_cfg=cfg.MODEL)
+            state = make_az_train_state(
+                cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
+        else:
+            model = FRCNN(model_cfg=cfg.MODEL)
+            state = make_frcnn_train_state(
+                cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
+        params = dict(state.params)
+        params["params"] = {
+            **state.params["params"],
+            "trunk": restored["params"]["params"]["trunk"],
+        }
+        return cfg, state.replace(params=params)
+
     if args.net == "az":
+        cfg, state = trunk_init_state(cfg)
         state, model, outdir = train_az_net(
             cfg, args.imdb, max_iters=args.iters, output_dir=args.output,
-            mesh=mesh
+            mesh=mesh, state=state
         )
     else:
         if args.proposals:
@@ -104,35 +163,7 @@ def main():
                     e["boxes"], (e["height"], e["width"]), 16, rng
                 )
 
-        state = None
-        if args.init_trunk_from:
-            import dataclasses
-
-            from aznet_tpu.api import build_az_net
-            from aznet_tpu.models.frcnn import FRCNN
-            from aznet_tpu.train.train_frcnn import make_frcnn_train_state
-            from aznet_tpu.utils.checkpoint import Checkpointer
-
-            if "trunk" not in cfg.TRAIN.FREEZE_PREFIXES:
-                cfg = dataclasses.replace(cfg, TRAIN=dataclasses.replace(
-                    cfg.TRAIN,
-                    FREEZE_PREFIXES=cfg.TRAIN.FREEZE_PREFIXES + ("trunk",)))
-            az_net = build_az_net(cfg)
-            path = args.init_trunk_from
-            deploy = os.path.join(path, "deploy")
-            if os.path.isdir(deploy):
-                path = deploy  # trunk params are identical in deploy copies
-            restored, step = Checkpointer(path).restore({"params": az_net.params})
-            print(f"init trunk from {path} (step {step}); trunk frozen")
-            model = FRCNN(model_cfg=cfg.MODEL)
-            state = make_frcnn_train_state(
-                cfg, model, jax.random.PRNGKey(cfg.RNG_SEED))
-            params = dict(state.params)
-            params["params"] = {
-                **state.params["params"],
-                "trunk": restored["params"]["params"]["trunk"],
-            }
-            state = state.replace(params=params)
+        cfg, state = trunk_init_state(cfg)
         state, model, outdir = train_frcnn_net(
             cfg, args.imdb, proposals_fn, max_iters=args.iters,
             output_dir=args.output, mesh=mesh, state=state
