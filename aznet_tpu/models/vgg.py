@@ -52,7 +52,9 @@ class VGG16Trunk(nn.Module):
     # calibrated per-layer activation scales (ops/quant.py).
     int8_mode: bool = False
     int8_scales: tuple = ()
-    # "pallas" (strip kernel, TPU) or "xla" (dx-pack GEMMs, portable).
+    # "pallas" (chain kernels, zero XLA glue between layers — TPU),
+    # "pallas_strip" (per-layer strip kernel, for A/B), or "xla"
+    # (dx-pack GEMMs, portable).
     int8_backend: str = "pallas"
 
     feat_stride: int = 16
@@ -82,11 +84,18 @@ class VGG16Trunk(nn.Module):
                 f"{len(self.int8_scales)} scales")
         scales = dict(zip(conv_names, self.int8_scales))
         p = self.variables["params"]
-        use_pallas = (self.int8_backend == "pallas"
-                      and jax.default_backend() == "tpu")
+        # AZNET_INT8_INTERPRET=1: run the Pallas paths in interpreter mode
+        # off-TPU so CI covers the real chain walk (tests/test_int8.py).
+        import os
+        interp = jax.default_backend() != "tpu"
+        use_pallas = (self.int8_backend in ("pallas", "pallas_strip")
+                      and (not interp
+                           or os.environ.get("AZNET_INT8_INTERPRET") == "1"))
         if use_pallas:
             from aznet_tpu.ops.pallas.conv_int8_kernel import (
                 conv3x3_int8_pallas, pack_weights_9)
+            from aznet_tpu.ops.pallas.conv_int8_chain import (
+                conv3x3_int8_chain, halo_layout)
 
         squeeze = x.ndim == 3
         if squeeze:
@@ -94,7 +103,22 @@ class VGG16Trunk(nn.Module):
         x = x.astype(self.dtype)
         s_x = None
         prefix = self._INT8_BF16_PREFIX
-        for name, ch in VGG16_LAYOUT:
+        # Chain mode (default "pallas" backend): int8 activations flow
+        # between kernels in the haloed layout — no XLA pad/slice passes,
+        # pools fused into the preceding conv's epilogue (the per-layer
+        # glue that made the hybrid trunk LOSE end-to-end in round 3,
+        # DESIGN.md finding 15b). Needs every chain input C % 128 == 0;
+        # "pallas_strip" keeps the per-layer strip kernel for A/B.
+        chain = (use_pallas and self.int8_backend == "pallas"
+                 and all(max(int(ch * self.width), 8) % 128 == 0
+                         for n, ch in VGG16_LAYOUT
+                         if ch is not None and n not in prefix[:-1]))
+        h = w = None
+        entries = list(VGG16_LAYOUT)
+        i = 0
+        while i < len(entries):
+            name, ch = entries[i]
+            i += 1
             if ch is None:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
@@ -108,6 +132,9 @@ class VGG16Trunk(nn.Module):
                 if name == prefix[-1]:  # quantize into the int8 chain
                     s_x = scales[name]
                     x = quantize_acts(y, s_x)
+                    if chain:
+                        h, w = x.shape[-3], x.shape[-2]
+                        x = halo_layout(x)
                 else:
                     x = y.astype(self.dtype)
                 continue
@@ -115,10 +142,27 @@ class VGG16Trunk(nn.Module):
             bias = p[name]["bias"].astype(jnp.float32)
             # conv5_3 is the trunk output: emit `dtype`, never requantize.
             s_out = scales.get(name) if name != conv_names[-1] else None
+            if chain:
+                w_q9, s_w = pack_weights_9(kern)
+                if s_out is None:  # chain exit: compact rows, slice to h
+                    x = conv3x3_int8_chain(
+                        x, s_x, w_q9, s_w, bias, h, w, s_out=None,
+                        out_dtype=self.dtype, interpret=interp)[:, :h]
+                else:
+                    pool_next = i < len(entries) and entries[i][1] is None
+                    x = conv3x3_int8_chain(x, s_x, w_q9, s_w, bias, h, w,
+                                           s_out=s_out, pool=pool_next,
+                                           interpret=interp)
+                    if pool_next:
+                        h, w = h // 2, w // 2
+                        i += 1  # the pool ran in the epilogue
+                    s_x = s_out
+                continue
             if use_pallas:
                 w_q9, s_w = pack_weights_9(kern)
                 x = conv3x3_int8_pallas(x, s_x, w_q9, s_w, bias,
-                                        s_out=s_out, out_dtype=self.dtype)
+                                        s_out=s_out, out_dtype=self.dtype,
+                                        interpret=interp)
             else:
                 w_q, s_w = quantize_weights(kern)
                 x = conv3x3_int8(x, s_x, w_q, s_w, bias,

@@ -148,3 +148,35 @@ def test_int8_heads_match_f32_roi_forward():
         a, b = np.asarray(ref[k], np.float32), np.asarray(out[k], np.float32)
         # logits: compare on a sigmoid-ish scale
         assert np.abs(1 / (1 + np.exp(-a)) - 1 / (1 + np.exp(-b))).max() < 0.1
+
+
+def test_int8_chain_walk_matches_xla_backend(monkeypatch):
+    """The vgg chain walk (halo entry -> fused-pool interior -> compact
+    exit) on a mini layout == the portable XLA int8 backend, interpret
+    mode off-TPU (AZNET_INT8_INTERPRET hook). Verifies the layer
+    lookahead/pool-skip/h,w bookkeeping, not just the kernel."""
+    from aznet_tpu.models import vgg as vggmod
+
+    mini = (("conv1_1", 128), ("conv2_1", 128), ("conv2_2", 128),
+            ("pool2", None), ("conv3_1", 128), ("conv3_2", 128))
+    monkeypatch.setattr(vggmod, "VGG16_LAYOUT", mini)
+    monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", ("conv1_1",))
+    monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
+
+    rng = np.random.RandomState(5)
+    x = rng.uniform(-1, 1, (1, 22, 20, 3)).astype(np.float32)
+    scales = (0.5, 0.25, 0.25, 0.5)  # powers of two: requant is exact
+    outs = {}
+    for backend in ("xla", "pallas", "pallas_strip"):
+        trunk = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
+                                  int8_scales=scales, int8_backend=backend)
+        params = trunk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+        outs[backend] = np.asarray(trunk.apply(params, jnp.asarray(x)))
+    assert outs["xla"].shape == (1, 11, 10, 128)
+    for backend in ("pallas", "pallas_strip"):
+        d = np.abs(outs[backend] - outs["xla"])
+        # identical int32 accumulations; the only difference is the
+        # epilogue's mul-by-reciprocal vs divide requant, exact at
+        # power-of-two scales -> bit-equal up to f32 fma reassociation
+        assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), (
+            backend, d.max())

@@ -176,3 +176,66 @@ def test_conv3x3_int8_pallas_exact_and_vmap():
         xx[None], 1.0, w9, sw, jnp.asarray(b), out_dtype=jnp.float32,
         interpret=True)[0])(jnp.asarray(x, jnp.int8))
     np.testing.assert_array_equal(np.asarray(yv), ref)
+
+
+def test_conv3x3_int8_chain_exact_and_halo():
+    """Chain kernel == XLA int8 conv (+ pool) BIT-EXACTLY on integer grids
+    with power-of-two requant scales (y * 2^-k == y / 2^k exactly), and
+    the output halo (col 0, cols > w_out, rows >= h_out) is exactly zero
+    — the contract the next chain layer's shifted dots rely on."""
+    import flax.linen as nn
+    from aznet_tpu.ops.conv_int8 import conv3x3_int8
+    from aznet_tpu.ops.pallas.conv_int8_chain import (conv3x3_int8_chain,
+                                                      halo_layout)
+
+    rng = np.random.RandomState(7)
+    c, co = 128, 128
+    for (h, w, pool, t) in [(20, 24, True, 8), (13, 10, False, 8),
+                            (8, 10, True, 8), (18, 18, True, 16)]:
+        x = rng.randint(-5, 6, (2, h, w, c)).astype(np.int8)
+        wts = rng.randint(-3, 4, (3, 3, c, co)).astype(np.float32)
+        bias = rng.randint(-2, 3, (co,)).astype(np.float32)
+        w9 = jnp.asarray(wts.reshape(9, c, co), jnp.int8)
+        sw = jnp.ones((co,), jnp.float32)
+        wq_dy = jnp.asarray(wts.reshape(3, 3 * c, co), jnp.int8)
+        s_out = 64.0  # power of two: reciprocal multiply is exact
+        ref = conv3x3_int8(jnp.asarray(x), 1.0, wq_dy, sw,
+                           jnp.asarray(bias), s_out=s_out)
+        if pool:
+            ref = nn.max_pool(ref, (2, 2), strides=(2, 2))
+        out = conv3x3_int8_chain(halo_layout(jnp.asarray(x)), 1.0, w9, sw,
+                                 jnp.asarray(bias), h, w, s_out=s_out,
+                                 pool=pool, t_rows=t, interpret=True)
+        ho, wo = (h // 2, w // 2) if pool else (h, w)
+        np.testing.assert_array_equal(np.asarray(out[:, :ho, 1:1 + wo]),
+                                      np.asarray(ref))
+        assert (np.asarray(out[:, :, 0]) == 0).all()
+        assert (np.asarray(out[:, :, 1 + wo:]) == 0).all()
+        assert (np.asarray(out[:, ho:]) == 0).all()
+
+
+def test_conv3x3_int8_chain_exit_and_vmap():
+    """Chain-exit (s_out=None) emits compact rows == the f32 conv on
+    integer grids; vmap folds the mapped axis into the kernel grid."""
+    from aznet_tpu.ops.conv_int8 import conv3x3_f32_reference
+    from aznet_tpu.ops.pallas.conv_int8_chain import (conv3x3_int8_chain,
+                                                      halo_layout)
+
+    rng = np.random.RandomState(8)
+    h, w, c, co = 11, 10, 128, 128
+    x = rng.randint(-5, 6, (2, h, w, c)).astype(np.float32)
+    wts = rng.randint(-3, 4, (3, 3, c, co)).astype(np.float32)
+    bias = rng.randint(-2, 3, (co,)).astype(np.float32)
+    w9 = jnp.asarray(wts.reshape(9, c, co), jnp.int8)
+    sw = jnp.ones((co,), jnp.float32)
+    ref = np.asarray(conv3x3_f32_reference(jnp.asarray(x), jnp.asarray(wts),
+                                           jnp.asarray(bias)))
+    xh = halo_layout(jnp.asarray(x, jnp.int8))
+    out = conv3x3_int8_chain(xh, 1.0, w9, sw, jnp.asarray(bias), h, w,
+                             s_out=None, out_dtype=jnp.float32, t_rows=8,
+                             interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[:, :h]), ref)
+    outv = jax.vmap(lambda xx: conv3x3_int8_chain(
+        xx[None], 1.0, w9, sw, jnp.asarray(bias), h, w, s_out=None,
+        out_dtype=jnp.float32, t_rows=8, interpret=True)[0])(xh)
+    np.testing.assert_array_equal(np.asarray(outv[:, :h]), ref)
