@@ -175,6 +175,13 @@ class ModelConfig:
     # "xla" = the dx-packed GEMM formulation (portable; loses to bf16 at
     # the small-C layers, kept for CPU tests and A/B).
     INT8_BACKEND: str = "pallas"
+    # First chain-kernel layer of the "pallas" backend. "conv2_2" (default)
+    # keeps conv1/conv2_1 in bf16 (every chain C is a real 128 multiple);
+    # "conv1_2" runs them int8 too via zero channel-padding to 128 lanes —
+    # 2-4x padded MACs on those two layers, but conv1_2 is HBM-bound in
+    # bf16 (~35 TF/s effective, DESIGN.md finding 12) so the int8 traffic
+    # still wins. Requires WIDTH=1.0.
+    INT8_CHAIN_FROM: str = "conv2_2"
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

@@ -32,7 +32,8 @@ def get_backbone(model_cfg: ModelConfig):
                    fuse_conv1=model_cfg.FUSE_CONV1,
                    int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
                    int8_scales=tuple(model_cfg.INT8_SCALES),
-                   int8_backend=model_cfg.INT8_BACKEND)
+                   int8_backend=model_cfg.INT8_BACKEND,
+                   int8_chain_from=model_cfg.INT8_CHAIN_FROM)
     if model_cfg.COMPUTE_DTYPE == "int8":
         raise ValueError(
             f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 "

@@ -56,6 +56,9 @@ class VGG16Trunk(nn.Module):
     # "pallas_strip" (per-layer strip kernel, for A/B), or "xla"
     # (dx-pack GEMMs, portable).
     int8_backend: str = "pallas"
+    # First chain layer ("conv2_2" | "conv1_2"); see config.py
+    # MODEL.INT8_CHAIN_FROM.
+    int8_chain_from: str = "conv2_2"
 
     feat_stride: int = 16
 
@@ -113,6 +116,13 @@ class VGG16Trunk(nn.Module):
                  and all(max(int(ch * self.width), 8) % 128 == 0
                          for n, ch in VGG16_LAYOUT
                          if ch is not None and n not in prefix[:-1]))
+        # Extended chain: only conv1_1 stays bf16; conv1_2/conv2_1 run int8
+        # with their 64 channels zero-padded to the 128-lane layout (padded
+        # MACs, but conv1_2 is HBM-bound in bf16 — see INT8_CHAIN_FROM).
+        chain_ext = (chain and self.int8_chain_from == "conv1_2"
+                     and max(int(64 * self.width), 8) == 64)
+        if chain_ext:
+            prefix = ("conv1_1",)
         h = w = None
         entries = list(VGG16_LAYOUT)
         i = 0
@@ -134,6 +144,9 @@ class VGG16Trunk(nn.Module):
                     x = quantize_acts(y, s_x)
                     if chain:
                         h, w = x.shape[-3], x.shape[-2]
+                        if x.shape[-1] % 128:  # chain_ext: 64 -> 128 lanes
+                            x = jnp.pad(x, ((0, 0),) * (x.ndim - 1)
+                                        + ((0, 128 - x.shape[-1]),))
                         x = halo_layout(x)
                 else:
                     x = y.astype(self.dtype)
@@ -143,6 +156,17 @@ class VGG16Trunk(nn.Module):
             # conv5_3 is the trunk output: emit `dtype`, never requantize.
             s_out = scales.get(name) if name != conv_names[-1] else None
             if chain:
+                if chain_ext and kern.shape[2] < 128:
+                    # zero input-channel rows for the lane-padded layout
+                    kern = jnp.pad(
+                        kern, ((0, 0), (0, 0), (0, 128 - kern.shape[2]),
+                               (0, 0)))
+                if chain_ext and name == "conv1_2" and kern.shape[3] < 128:
+                    # zero output channels so the chain stays 128 lanes;
+                    # zero weights + zero bias -> requant keeps them zero
+                    pad_co = 128 - kern.shape[3]
+                    kern = jnp.pad(kern, ((0, 0),) * 3 + ((0, pad_co),))
+                    bias = jnp.pad(bias, (0, pad_co))
                 w_q9, s_w = pack_weights_9(kern)
                 if s_out is None:  # chain exit: compact rows, slice to h
                     x = conv3x3_int8_chain(
@@ -150,12 +174,22 @@ class VGG16Trunk(nn.Module):
                         out_dtype=self.dtype, interpret=interp)[:, :h]
                 else:
                     pool_next = i < len(entries) and entries[i][1] is None
+                    # fused pool needs even dims (608x800-style canvases);
+                    # odd dims (600x800 exact) fall back to an XLA pool +
+                    # re-halo pass, matching nn.max_pool's floor semantics.
+                    fuse = pool_next and h % 2 == 0 and w % 2 == 0
                     x = conv3x3_int8_chain(x, s_x, w_q9, s_w, bias, h, w,
-                                           s_out=s_out, pool=pool_next,
+                                           s_out=s_out, pool=fuse,
                                            interpret=interp)
                     if pool_next:
-                        h, w = h // 2, w // 2
-                        i += 1  # the pool ran in the epilogue
+                        i += 1  # the pool entry is consumed either way
+                        if fuse:
+                            h, w = h // 2, w // 2
+                        else:
+                            d = nn.max_pool(x[:, :h, 1 : 1 + w], (2, 2),
+                                            strides=(2, 2))
+                            h, w = h // 2, w // 2
+                            x = halo_layout(d)
                     s_x = s_out
                 continue
             if use_pallas:

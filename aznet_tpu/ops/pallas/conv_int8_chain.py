@@ -167,9 +167,14 @@ def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
     kernel does).
     """
     if t_rows is None:
+        import os
+
         from aznet_tpu.ops.pallas.conv_int8_kernel import _auto_t_rows
 
-        t_rows = _auto_t_rows(h, w)
+        # AZNET_INT8_TROWS: hardware-sweep override of the strip height.
+        t_rows = (int(os.environ["AZNET_INT8_TROWS"])
+                  if os.environ.get("AZNET_INT8_TROWS")
+                  else _auto_t_rows(h, w))
     if pool:
         if s_out is None:
             raise ValueError("fused pool is only for chain-interior layers")

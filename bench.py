@@ -105,6 +105,15 @@ def _build(preset: str):
         head_scales = calibrate_head_int8(net, calib, scales)
         if dtype == "int8":
             cfg = with_int8_scales(cfg, scales, head_scales)
+            # AZNET_BENCH_CHAIN_FROM: conv2_2 (default) | conv1_2 (extended
+            # chain: conv1_2/conv2_1 int8 with zero lane-padding) |
+            # plus AZNET_BENCH_INT8_BACKEND to A/B pallas|pallas_strip|xla.
+            if os.environ.get("AZNET_BENCH_CHAIN_FROM"):
+                cfg = cfg_from_dict(cfg, {"MODEL": {
+                    "INT8_CHAIN_FROM": os.environ["AZNET_BENCH_CHAIN_FROM"]}})
+            if os.environ.get("AZNET_BENCH_INT8_BACKEND"):
+                cfg = cfg_from_dict(cfg, {"MODEL": {
+                    "INT8_BACKEND": os.environ["AZNET_BENCH_INT8_BACKEND"]}})
         else:  # bf16 trunk + int8 heads
             cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
                 cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))

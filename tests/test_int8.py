@@ -164,19 +164,50 @@ def test_int8_chain_walk_matches_xla_backend(monkeypatch):
     monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
 
     rng = np.random.RandomState(5)
-    x = rng.uniform(-1, 1, (1, 22, 20, 3)).astype(np.float32)
     scales = (0.5, 0.25, 0.25, 0.5)  # powers of two: requant is exact
+    # 22x20: fused even-dim pool; 21x18: odd h -> unfused pool fallback
+    for hw, out_hw in (((22, 20), (11, 10)), ((21, 18), (10, 9))):
+        x = rng.uniform(-1, 1, (1,) + hw + (3,)).astype(np.float32)
+        outs = {}
+        for backend in ("xla", "pallas", "pallas_strip"):
+            trunk = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
+                                      int8_scales=scales,
+                                      int8_backend=backend)
+            params = trunk.init(jax.random.PRNGKey(0), jnp.asarray(x))
+            outs[backend] = np.asarray(trunk.apply(params, jnp.asarray(x)))
+        assert outs["xla"].shape == (1,) + out_hw + (128,)
+        for backend in ("pallas", "pallas_strip"):
+            d = np.abs(outs[backend] - outs["xla"])
+            # identical int32 accumulations; the only difference is the
+            # epilogue's mul-by-reciprocal vs divide requant, exact at
+            # power-of-two scales -> bit-equal up to f32 fma reassociation
+            assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), (
+                backend, d.max())
+
+
+def test_int8_chain_ext_conv1_matches_xla(monkeypatch):
+    """INT8_CHAIN_FROM='conv1_2': the 64-channel conv1_2/conv2_1 run as
+    chain kernels with zero lane-padding to 128. Oracle: the XLA int8
+    backend with the same quantization boundary (prefix = conv1_1 only),
+    power-of-two scales -> equal up to f32 fma reassociation."""
+    from aznet_tpu.models import vgg as vggmod
+
+    mini = (("conv1_1", 64), ("conv1_2", 64), ("pool1", None),
+            ("conv2_1", 128), ("conv2_2", 128))
+    monkeypatch.setattr(vggmod, "VGG16_LAYOUT", mini)
+    monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", ("conv1_1",))
+    monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
+
+    rng = np.random.RandomState(6)
+    x = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
+    scales = (0.5, 0.25, 0.25)
     outs = {}
-    for backend in ("xla", "pallas", "pallas_strip"):
+    for backend, frm in (("xla", "conv2_2"), ("pallas", "conv1_2")):
         trunk = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
-                                  int8_scales=scales, int8_backend=backend)
+                                  int8_scales=scales, int8_backend=backend,
+                                  int8_chain_from=frm)
         params = trunk.init(jax.random.PRNGKey(0), jnp.asarray(x))
         outs[backend] = np.asarray(trunk.apply(params, jnp.asarray(x)))
-    assert outs["xla"].shape == (1, 11, 10, 128)
-    for backend in ("pallas", "pallas_strip"):
-        d = np.abs(outs[backend] - outs["xla"])
-        # identical int32 accumulations; the only difference is the
-        # epilogue's mul-by-reciprocal vs divide requant, exact at
-        # power-of-two scales -> bit-equal up to f32 fma reassociation
-        assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), (
-            backend, d.max())
+    assert outs["xla"].shape == (1, 8, 8, 128)
+    d = np.abs(outs["pallas"] - outs["xla"])
+    assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), d.max()

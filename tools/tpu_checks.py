@@ -153,6 +153,55 @@ def check_int8_conv_pallas():
     return {"ok": err == 0.0, "max_err": err}
 
 
+def check_int8_chain():
+    """Chain kernel (haloed layout + fused pool) == strip kernel + XLA
+    int8 pool, bit-exactly, on hardware — the shipping MODEL.INT8_BACKEND
+    'pallas' walk since round 3 (DESIGN.md finding 18)."""
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.pallas.conv_int8_kernel import conv3x3_int8_pallas
+    from aznet_tpu.ops.pallas.conv_int8_chain import (conv3x3_int8_chain,
+                                                      halo_layout)
+
+    rng = np.random.RandomState(17)
+    # two chained layers: interior (fused pool) then exit (compact bf16);
+    # H%T != 0 exercises the tail strip + row masking of both kernels.
+    x = rng.randint(-5, 6, (2, 38, 50, 128)).astype(np.int8)
+    w1 = rng.randint(-3, 4, (3, 3, 128, 256)).astype(np.float32)
+    b1 = rng.randint(-2, 3, (256,)).astype(np.float32)
+    w2 = rng.randint(-3, 4, (3, 3, 256, 128)).astype(np.float32)
+    b2 = rng.randint(-2, 3, (128,)).astype(np.float32)
+    w19 = jnp.asarray(w1.reshape(9, 128, 256), jnp.int8)
+    w29 = jnp.asarray(w2.reshape(9, 256, 128), jnp.int8)
+    s1 = jnp.ones((256,), jnp.float32)
+    s2 = jnp.ones((128,), jnp.float32)
+    s_mid = 64.0  # power of two: requant exact in both formulations
+
+    @jax.jit
+    def chain(xi):
+        y = conv3x3_int8_chain(halo_layout(xi), 1.0, w19, s1,
+                               jnp.asarray(b1), 38, 50, s_out=s_mid,
+                               pool=True)
+        return conv3x3_int8_chain(y, s_mid, w29, s2, jnp.asarray(b2),
+                                  19, 25, s_out=None,
+                                  out_dtype=jnp.float32)[:, :19]
+
+    @jax.jit
+    def strip(xi):
+        y = conv3x3_int8_pallas(xi, 1.0, w19, s1, jnp.asarray(b1),
+                                s_out=s_mid)
+        y = nn.max_pool(y, (2, 2), strides=(2, 2))
+        return conv3x3_int8_pallas(y, s_mid, w29, s2, jnp.asarray(b2),
+                                   out_dtype=jnp.float32)
+
+    a = np.asarray(chain(jnp.asarray(x)))
+    b = np.asarray(strip(jnp.asarray(x)))
+    err = float(np.abs(a - b).max())
+    return {"ok": err == 0.0, "max_err": err}
+
+
 def check_search():
     import jax
     import jax.numpy as jnp
@@ -197,6 +246,7 @@ CHECKS = {
     "roi_align_pallas_vs_xla": check_roi_align,
     "int8_conv_vs_f32_exact": check_int8_conv,
     "int8_conv_pallas_strip_vs_f32_exact": check_int8_conv_pallas,
+    "int8_chain_vs_strip_exact": check_int8_chain,
     "az_search_device_vs_oracle": check_search,
 }
 
