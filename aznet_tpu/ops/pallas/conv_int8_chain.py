@@ -175,6 +175,15 @@ def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
         t_rows = (int(os.environ["AZNET_INT8_TROWS"])
                   if os.environ.get("AZNET_INT8_TROWS")
                   else _auto_t_rows(h, w))
+    # VMEM budget clamp: the epilogue's int32 acc + f32 y cost t*w*co*8
+    # bytes on the scoped stack (plus the input scratch); conv1_2-sized
+    # strips (w=800, t=16, co=128 -> 13 MB) blow the 16 MB limit.
+    co_ = w_q9.shape[-1]
+    wp_ = x_hal.shape[-2]
+    c_ = x_hal.shape[-1]
+    while (t_rows > 8 and t_rows * w * co_ * 8
+           + (t_rows + 2) * wp_ * c_ > 11 * 2 ** 20):
+        t_rows //= 2
     if pool:
         if s_out is None:
             raise ValueError("fused pool is only for chain-interior layers")

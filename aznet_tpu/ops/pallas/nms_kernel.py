@@ -44,13 +44,35 @@ def _nms_kernel(offset, TILE, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref
     """Blocks per (b, i) step: lane (1,4,N), sub (1,TILE,4) [tile i],
     valid (1,1,N), keep (1,tiles,TILE) [stream-resident carry]."""
     i = pl.program_id(1)
-    t = thresh_ref[0, 0]
-
     # Row-layout (TILE, 1) coords of tile i from its (TILE, 4) block.
     rx1 = sub_ref[0, :, pl.ds(0, 1)]
     ry1 = sub_ref[0, :, pl.ds(1, 1)]
     rx2 = sub_ref[0, :, pl.ds(2, 1)]
     ry2 = sub_ref[0, :, pl.ds(3, 1)]
+    _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
+              valid_ref, keep_ref)
+
+
+def _nms_kernel_nosub(offset, TILE, thresh_ref, lane_ref, valid_ref,
+                      keep_ref):
+    """`derive_sub` variant: tile i's row-layout coords come from an
+    in-kernel (4, TILE) -> (TILE, 4) transpose of the lane block instead
+    of a second XLA-side gather of the sorted (N, 4) array (that gather's
+    4-lane rows pad 32x — it measured as a large share of the wrapper
+    cost in the 16x4096 serving regime)."""
+    i = pl.program_id(1)
+    sub = jnp.swapaxes(lane_ref[0, :, pl.ds(i * TILE, TILE)], 0, 1)
+    rx1 = sub[:, 0:1]
+    ry1 = sub[:, 1:2]
+    rx2 = sub[:, 2:3]
+    ry2 = sub[:, 3:4]
+    _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
+              valid_ref, keep_ref)
+
+
+def _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
+              valid_ref, keep_ref):
+    t = thresh_ref[0, 0]
     area_r = (rx2 - rx1 + offset) * (ry2 - ry1 + offset)  # (T, 1)
     valid_i = valid_ref[0, :, pl.ds(i * TILE, TILE)]  # (1, T)
 
@@ -102,47 +124,69 @@ def _nms_kernel(offset, TILE, thresh_ref, lane_ref, sub_ref, valid_ref, keep_ref
 
 
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
-                       interpret: bool = False, tile: int = TILE):
+                       interpret: bool = False, tile: int = TILE,
+                       derive_sub: bool = False, lane_gather: bool = False):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
-    (grid = streams x tiles)."""
+    (grid = streams x tiles).
+
+    ``derive_sub``: skip the XLA-side sorted (B, N, 4) array (its 4-lane
+    rows pad 32x); the kernel transposes each tile's lane block instead.
+    ``lane_gather``: permute boxes in the (B, 4, N) lane layout
+    (transpose-then-gather) rather than gather-then-transpose. Both are
+    wrapper-cost A/B knobs; the keep set is identical.
+    """
     bsz, n = scores.shape
     if valid is None:
         valid = jnp.ones((bsz, n), bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(valid, scores, neg_inf)
     order = jnp.argsort(-s, axis=1, stable=True)
-    sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
-    sboxes = sboxes.astype(jnp.float32)
     svalid = jnp.take_along_axis(valid, order, axis=1)
 
     n_pad = int(-(-n // tile) * tile)
     num_tiles = n_pad // tile
     pad = n_pad - n
-    sboxes = jnp.pad(sboxes, ((0, 0), (0, pad), (0, 0)))
     svalid_f = jnp.pad(svalid.astype(jnp.float32), ((0, 0), (0, pad)))
 
-    lane = jnp.swapaxes(sboxes, 1, 2)  # (B, 4, N): coords as lane rows
-    sub = sboxes  # (B, N, 4): coords as sublane columns, blocked per tile
+    if lane_gather:
+        lane = jnp.take_along_axis(
+            jnp.swapaxes(boxes, 1, 2).astype(jnp.float32),
+            order[:, None, :], axis=2)
+        lane = jnp.pad(lane, ((0, 0), (0, 0), (0, pad)))
+        sboxes = None if derive_sub else jnp.swapaxes(lane, 1, 2)
+    else:
+        sboxes = jnp.take_along_axis(boxes, order[..., None], axis=1)
+        sboxes = jnp.pad(sboxes.astype(jnp.float32),
+                         ((0, 0), (0, pad), (0, 0)))
+        lane = jnp.swapaxes(sboxes, 1, 2)  # (B, 4, N): coords as lane rows
     thresh_arr = jnp.asarray(thresh, jnp.float32).reshape(1, 1)
 
+    specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((1, 4, n_pad), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tile, 4), lambda b, i: (b, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = (thresh_arr, lane, sboxes, svalid_f.reshape(bsz, 1, n_pad))
+    kern = partial(_nms_kernel, offset, tile)
+    if derive_sub:
+        specs = specs[:2] + specs[3:]
+        args = args[:2] + args[3:]
+        kern = partial(_nms_kernel_nosub, offset, tile)
+
     keep_rows = pl.pallas_call(
-        partial(_nms_kernel, offset, tile),
+        kern,
         grid=(bsz, num_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 4, n_pad), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tile, 4), lambda b, i: (b, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=specs,
         out_specs=pl.BlockSpec((1, num_tiles, tile), lambda b, i: (b, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((bsz, num_tiles, tile), jnp.float32),
         interpret=interpret,
-    )(thresh_arr, lane, sub, svalid_f.reshape(bsz, 1, n_pad))
+    )(*args)
 
     keep_sorted = keep_rows.reshape(bsz, n_pad)[:, :n] > 0.0
     out = jnp.zeros((bsz, n), bool)

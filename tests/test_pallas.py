@@ -123,12 +123,15 @@ def test_fused_conv1_pool_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("tile", [256, 512])
-def test_nms_pallas_batched_matches_per_stream(tile):
+@pytest.mark.parametrize("tile,derive_sub,lane_gather", [
+    (256, False, False), (512, False, False),
+    (256, True, False), (256, False, True), (256, True, True)])
+def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather):
     """Native multi-stream launch == independent per-stream greedy NMS.
 
     tile=512 is the bench default (the 16x4096 sweep winner); 256 covers
-    the multi-tile cross-suppression path at this N.
+    the multi-tile cross-suppression path at this N. derive_sub /
+    lane_gather are the wrapper-cost variants — identical keep sets.
     """
     from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
 
@@ -140,7 +143,9 @@ def test_nms_pallas_batched_matches_per_stream(tile):
     scores = rng.rand(bsz, n).astype(np.float32)
     keep = np.asarray(nms_pallas_batched(jnp.asarray(boxes),
                                          jnp.asarray(scores), 0.5,
-                                         interpret=True, tile=tile))
+                                         interpret=True, tile=tile,
+                                         derive_sub=derive_sub,
+                                         lane_gather=lane_gather))
     for b in range(bsz):
         dets = np.concatenate([boxes[b], scores[b][:, None]], -1)
         want = np.zeros(n, bool)
