@@ -125,16 +125,21 @@ def _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
 
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
                        interpret: bool = False, tile: int = TILE,
-                       derive_sub: bool = False, lane_gather: bool = False):
+                       derive_sub: bool = False, lane_gather: bool = True,
+                       unpermute: str = "scatter"):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
     (grid = streams x tiles).
 
-    ``derive_sub``: skip the XLA-side sorted (B, N, 4) array (its 4-lane
-    rows pad 32x); the kernel transposes each tile's lane block instead.
-    ``lane_gather``: permute boxes in the (B, 4, N) lane layout
-    (transpose-then-gather) rather than gather-then-transpose. Both are
-    wrapper-cost A/B knobs; the keep set is identical.
+    ``lane_gather`` (default True): permute boxes in the (B, 4, N) lane
+    layout (transpose-then-gather) rather than gather-then-transpose —
+    the sorted (N, 4) gather's 4-lane rows pad 32x and measured ~2x on
+    the whole 16x4096 program (20.5 -> 39.2 Mboxes/s, tools/
+    bench_nms_variants.py). ``derive_sub``: drop the (N, 4) array
+    entirely and transpose each tile's lane block in-kernel — helps the
+    gather-layout path but the Mosaic relayout LOSES to the XLA
+    transpose when combined with lane_gather; kept for A/B. The keep set
+    is identical across variants (parameterized tests).
     """
     bsz, n = scores.shape
     if valid is None:
@@ -189,6 +194,11 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     )(*args)
 
     keep_sorted = keep_rows.reshape(bsz, n_pad)[:, :n] > 0.0
+    if unpermute == "gather":
+        # rank[j] = position of box j in sorted order; one more argsort
+        # but a lane-friendly gather instead of a bool scatter.
+        rank = jnp.argsort(order, axis=1)
+        return jnp.take_along_axis(keep_sorted, rank, axis=1)
     out = jnp.zeros((bsz, n), bool)
     return jax.vmap(lambda o, idx, k: o.at[idx].set(k))(out, order, keep_sorted)
 

@@ -123,10 +123,12 @@ def test_fused_conv1_pool_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("tile,derive_sub,lane_gather", [
-    (256, False, False), (512, False, False),
-    (256, True, False), (256, False, True), (256, True, True)])
-def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather):
+@pytest.mark.parametrize("tile,derive_sub,lane_gather,unpermute", [
+    (256, False, False, "scatter"), (512, False, False, "scatter"),
+    (256, True, False, "scatter"), (256, False, True, "scatter"),
+    (256, True, True, "scatter"), (256, False, True, "gather")])
+def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather,
+                                               unpermute):
     """Native multi-stream launch == independent per-stream greedy NMS.
 
     tile=512 is the bench default (the 16x4096 sweep winner); 256 covers
@@ -145,7 +147,8 @@ def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather):
                                          jnp.asarray(scores), 0.5,
                                          interpret=True, tile=tile,
                                          derive_sub=derive_sub,
-                                         lane_gather=lane_gather))
+                                         lane_gather=lane_gather,
+                                         unpermute=unpermute))
     for b in range(bsz):
         dets = np.concatenate([boxes[b], scores[b][:, None]], -1)
         want = np.zeros(n, bool)
