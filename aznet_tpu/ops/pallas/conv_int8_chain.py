@@ -112,11 +112,17 @@ def _kernel(s_x, s_out, t, h, w, pool, out_dtype, n_strips,
             for r in range(cnt_last, t + 2):
                 xs[r : r + 1] = zero_row
 
+    _dots_epilogue(s_x, s_out, t, h, w, pool, out_dtype, n_strips, i,
+                   lambda dy, dx: xs[dy : dy + t, dx : dx + w, :],
+                   w_ref, sw_ref, b_ref, out_ref, c, co)
+
+
+def _dots_epilogue(s_x, s_out, t, h, w, pool, out_dtype, n_strips, i,
+                   read, w_ref, sw_ref, b_ref, out_ref, c, co):
     acc = jnp.zeros((t * w, co), jnp.int32)
     for dy in range(3):
         for dx in range(3):
-            a = xs[dy : dy + t, dx : dx + w, :]
-            a = a.reshape(t * w, c)
+            a = read(dy, dx).reshape(t * w, c)
             acc = acc + jax.lax.dot_general(
                 a, w_ref[dy * 3 + dx],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -149,10 +155,87 @@ def _kernel(s_x, s_out, t, h, w, pool, out_dtype, n_strips,
                 (t_o, wp_out - w_out - 1, co), jnp.int8)
 
 
+def _kernel_db(s_x, s_out, t, h, w, pool, out_dtype, n_strips,
+               w_ref, sw_ref, b_ref, x_hbm, out_ref, xs, sems):
+    """Double-buffered variant: strip i+1's halo DMA (and, in the
+    prologue, strip 1's) is issued into the other scratch slot before —
+    and strip i+2's after — computing strip i, so the DMA rides under
+    the MXU work. Memsets of missing halo rows happen at issue time (the
+    target slot was last read two grid steps ago). The VLIW core
+    executes loads synchronously, so re-issuing into the just-read slot
+    after the dots is safe."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    hp_in = x_hbm.shape[1]
+    wp_in = x_hbm.shape[2]
+    c = x_hbm.shape[3]
+    co = w_ref.shape[-1]
+    zero_row = jnp.zeros((1, wp_in, c), jnp.int8)
+
+    def halo_dma(strip, slot, start):
+        def copy(src_row, dst_row, rows):
+            cp = pltpu.make_async_copy(
+                x_hbm.at[b, pl.ds(src_row, rows)],
+                xs.at[slot, pl.ds(dst_row, rows)], sems.at[slot])
+            (cp.start if start else cp.wait)()
+
+        def memset(r):
+            if start:
+                xs[slot, r : r + 1] = zero_row
+
+        if n_strips == 1:
+            cnt = min(hp_in, t + 1)
+            memset(0)
+            copy(0, 1, cnt)
+            for r in range(1 + cnt, t + 2):
+                memset(r)
+            return
+        cnt_last = min(t + 2, hp_in - ((n_strips - 1) * t - 1))
+
+        @pl.when(strip == 0)
+        def _first():
+            memset(0)
+            copy(0, 1, t + 1)
+
+        if n_strips > 2:
+            @pl.when(jnp.logical_and(strip > 0, strip < n_strips - 1))
+            def _interior():
+                copy(strip * t - 1, 0, t + 2)
+
+        @pl.when(strip == n_strips - 1)
+        def _last():
+            copy(strip * t - 1, 0, cnt_last)
+            for r in range(cnt_last, t + 2):
+                memset(r)
+
+    slot = jax.lax.rem(i, 2)
+
+    @pl.when(i == 0)
+    def _prologue():
+        halo_dma(jnp.int32(0), jnp.int32(0), start=True)
+
+    if n_strips > 1:
+        @pl.when(i == 0)
+        def _prologue2():
+            halo_dma(jnp.int32(1), jnp.int32(1), start=True)
+
+    halo_dma(i, slot, start=False)  # wait for strip i
+
+    _dots_epilogue(s_x, s_out, t, h, w, pool, out_dtype, n_strips, i,
+                   lambda dy, dx: xs[slot, dy : dy + t, dx : dx + w, :],
+                   w_ref, sw_ref, b_ref, out_ref, c, co)
+
+    if n_strips > 2:
+        @pl.when(i + 2 < n_strips)
+        def _issue_next():
+            halo_dma(i + 2, slot, start=True)
+
+
 def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
                        s_out=None, pool: bool = False,
                        out_dtype=jnp.bfloat16, t_rows: int | None = None,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       double_buffer: bool | None = None):
     """3x3/SAME conv + ReLU (+ optional fused 2x2/2 max-pool) on haloed
     int8 activations.
 
@@ -190,11 +273,18 @@ def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
         if h % 2 or w % 2 or t_rows % 2:
             raise ValueError(f"fused 2x2 pool needs even h/w/t ({h},{w},{t_rows})")
 
+    if double_buffer is None:
+        import os
+
+        # AZNET_INT8_DB=0 disables the double-buffered halo DMA (A/B).
+        double_buffer = os.environ.get("AZNET_INT8_DB", "1") != "0"
+
     @jax.custom_batching.custom_vmap
     def conv(x, w9, sw, b_):
         return _chain_impl(x, float(s_x), w9, sw, b_, h, w,
                            None if s_out is None else float(s_out),
-                           pool, out_dtype, t_rows, interpret)
+                           pool, out_dtype, t_rows, interpret,
+                           double_buffer)
 
     @conv.def_vmap
     def _vmap_rule(axis_size, in_batched, x, w9, sw, b_):
@@ -210,7 +300,7 @@ def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
 
 
 def _chain_impl(x_hal, s_x, w_q9, s_w, bias, h, w, s_out, pool, out_dtype,
-                t_rows, interpret):
+                t_rows, interpret, double_buffer=False):
     b, hp_in, wp_in, c = x_hal.shape
     co = w_q9.shape[-1]
     if c % 128 or wp_in % 8:
@@ -231,8 +321,9 @@ def _chain_impl(x_hal, s_x, w_q9, s_w, bias, h, w, s_out, pool, out_dtype,
             (b, n_strips * t_rows, w, co), out_dtype)
         out_block = (1, t_rows, w, co)
 
+    kern = _kernel_db if double_buffer else _kernel
     return pl.pallas_call(
-        partial(_kernel, s_x, s_out, t_rows, h, w, pool, out_dtype,
+        partial(kern, s_x, s_out, t_rows, h, w, pool, out_dtype,
                 n_strips),
         grid=(b, n_strips),
         in_specs=[
@@ -245,8 +336,10 @@ def _chain_impl(x_hal, s_x, w_q9, s_w, bias, h, w, s_out, pool, out_dtype,
                                memory_space=pltpu.VMEM),
         out_shape=out_shape,
         scratch_shapes=[
-            pltpu.VMEM((t_rows + 2, wp_in, c), jnp.int8),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM(((2,) if double_buffer else ())
+                       + (t_rows + 2, wp_in, c), jnp.int8),
+            pltpu.SemaphoreType.DMA((2,)) if double_buffer
+            else pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(w_q9, s_w.reshape(1, -1).astype(jnp.float32),
