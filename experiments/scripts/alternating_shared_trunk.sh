@@ -18,10 +18,11 @@ CFG=${CFG:-experiments/cfgs/az_vgg_w100_synthetic_hard.yml}
 OUT=${1:-output/quality_r3_w100}
 AZ_ITERS=${2:-8000}
 FRCNN_ITERS=${3:-6000}
+PROP=${PROP:-$OUT/proposals_train.pkl}
 
 python tools/train_net.py --net frcnn --imdb synthetic_hard_train --cfg $CFG \
     --iters "$FRCNN_ITERS" --output "$OUT/frcnn_alt" \
-    --proposals "$OUT/proposals_train_combo.pkl" \
+    --proposals "$PROP" \
     --init-trunk-from "$OUT/az" --trunk-trainable
 sleep 20
 python tools/train_net.py --net az --imdb synthetic_hard_train --cfg $CFG \

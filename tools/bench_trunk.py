@@ -24,7 +24,9 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--hw", type=int, nargs=2, default=(608, 800))
-    p.add_argument("--variants", default="bf16,chain,chain_ext,strip")
+    p.add_argument("--variants", default="bf16,chain,strip",
+                   help="also available: chain_ext (measured 2x slower, "
+                        "DESIGN.md finding 19), xla_int8")
     p.add_argument("--reps", type=int, nargs=2, default=(2, 6))
     p.add_argument("--trials", type=int, default=3)
     p.add_argument("--trows", type=int, default=0,
