@@ -125,21 +125,23 @@ def _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
 
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
                        interpret: bool = False, tile: int = TILE,
-                       derive_sub: bool = False, lane_gather: bool = True,
+                       derive_sub: bool = True, lane_gather: bool = False,
                        unpermute: str = "scatter"):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
     (grid = streams x tiles).
 
-    ``lane_gather`` (default True): permute boxes in the (B, 4, N) lane
-    layout (transpose-then-gather) rather than gather-then-transpose —
-    the sorted (N, 4) gather's 4-lane rows pad 32x and measured ~2x on
-    the whole 16x4096 program (20.5 -> 39.2 Mboxes/s, tools/
-    bench_nms_variants.py). ``derive_sub``: drop the (N, 4) array
-    entirely and transpose each tile's lane block in-kernel — helps the
-    gather-layout path but the Mosaic relayout LOSES to the XLA
-    transpose when combined with lane_gather; kept for A/B. The keep set
-    is identical across variants (parameterized tests).
+    Wrapper-layout knobs (identical keep sets, parameterized tests):
+    ``derive_sub`` (default True, the idle-chip A/B winner at 16x4096 —
+    tools/bench_nms_variants.py): skip passing the sorted (B, N, 4)
+    array to the kernel; each tile's row-layout coords come from an
+    in-kernel transpose of its lane block. ``lane_gather``: permute
+    boxes in the (B, 4, N) lane layout instead of gather-then-transpose.
+    ``unpermute='gather'``: argsort-based inverse permutation instead of
+    the bool scatter. On an idle chip all variants land within ~6%
+    (22.3-23.6 Mboxes/s vs a 46 Mboxes/s sorted-input kernel-only lower
+    bound — the argsort dominates the wrapper); loaded-machine runs
+    exaggerate the differences wildly (DESIGN.md finding 20).
     """
     bsz, n = scores.shape
     if valid is None:
