@@ -84,12 +84,14 @@ def _build(preset: str):
         cfg = cfg_from_dict(
             cfg, {"MODEL": {"POOLING_MODE": os.environ["AZNET_BENCH_POOLING"]}})
     net = build_az_net(cfg)
-    # AZNET_BENCH_DTYPE: int8_heads (DEFAULT since round 3: bf16 trunk +
-    # int8 fc stack, the measured end-to-end winner at 300.5 vs 289.6
-    # img/s) | int8 (hybrid int8 trunk + int8 heads) | bfloat16 (the
+    # AZNET_BENCH_DTYPE: int8 (DEFAULT since the chain kernel: hybrid
+    # int8 CHAIN trunk + int8 fc heads, measured 309.1 img/s @ b32 —
+    # the chain removed the per-layer XLA glue that made the round-3
+    # strip-kernel trunk lose end-to-end) | int8_heads (bf16 trunk +
+    # int8 fc stack, the pre-chain winner at 300.5) | bfloat16 (the
     # round-1/2 configuration, for apples-to-apples with BENCH_r01/r02).
     # The int8 paths add a short activation-calibration pass at startup.
-    dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8_heads")
+    dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8")
     if (dtype in ("int8", "int8_heads") and cfg.MODEL.BACKBONE == "vgg16"
             and jax.devices()[0].platform != "cpu"):
         import dataclasses
