@@ -20,7 +20,11 @@ python tools/propose_net.py --imdb synthetic_hard_train --cfg $CFG \
 # SHARED=1: train the FRCNN head against the FROZEN AZ trunk
 # (--init-trunk-from) so the fused single-program detect path serves with
 # real mAP (the paper's shared-trunk evaluation; also halves detect-time
-# trunk compute).
+# trunk compute). MEASURED CAVEAT (r3b, 2026-08-18): at w1.0/6k iters the
+# frozen-AZ-trunk head badly underfits (cls_loss plateaus ~0.45, mAP
+# 0.354 vs 0.91 own-trunk) — AZ-search features are not detection
+# features. Default (unset SHARED) trains the FRCNN with its own trunk;
+# for fused serving use experiments/scripts/alternating_shared_trunk.sh.
 python tools/train_net.py --net frcnn --imdb synthetic_hard_train --cfg $CFG \
     --iters "$FRCNN_ITERS" --output "$OUT/frcnn" \
     --proposals "$OUT/proposals_train.pkl" \
