@@ -112,6 +112,10 @@ class VGG16Trunk(nn.Module):
         # glue that made the hybrid trunk LOSE end-to-end in round 3,
         # DESIGN.md finding 15b). Needs every chain input C % 128 == 0;
         # "pallas_strip" keeps the per-layer strip kernel for A/B.
+        if self.int8_chain_from not in ("conv2_2", "conv1_2"):
+            raise ValueError(
+                f"MODEL.INT8_CHAIN_FROM must be 'conv2_2' or 'conv1_2', "
+                f"got {self.int8_chain_from!r}")
         chain = (use_pallas and self.int8_backend == "pallas"
                  and all(max(int(ch * self.width), 8) % 128 == 0
                          for n, ch in VGG16_LAYOUT
@@ -123,6 +127,17 @@ class VGG16Trunk(nn.Module):
                      and max(int(64 * self.width), 8) == 64)
         if chain_ext:
             prefix = ("conv1_1",)
+        # The chain walk assumes no pool entry directly follows the last
+        # bf16 prefix conv (true for both shipped prefixes): after the
+        # quantize+halo entry, the generic pool branch below would pool
+        # the HALOED layout and silently corrupt activations.
+        if chain:
+            names = [n for n, _ in VGG16_LAYOUT]
+            nxt = names.index(prefix[-1]) + 1
+            if nxt < len(names) and dict(VGG16_LAYOUT)[names[nxt]] is None:
+                raise ValueError(
+                    f"int8 chain: a pool directly follows the bf16 prefix "
+                    f"end {prefix[-1]!r}; extend the prefix past the pool")
         h = w = None
         entries = list(VGG16_LAYOUT)
         i = 0

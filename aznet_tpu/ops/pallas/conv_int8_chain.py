@@ -65,52 +65,70 @@ def halo_layout(x_i8: jnp.ndarray) -> jnp.ndarray:
     return jnp.pad(x_i8, ((0, 0), (0, 0), (1, wp - w - 1), (0, 0)))
 
 
+def _halo_dma(x_hbm, xs, sem, b, strip, t, n_strips, start, slot=None):
+    """Issue (or wait for) the halo-row DMA of ``strip`` into scratch.
+
+    Strip i needs input rows [i*t - 1, i*t + t + 1); the top row of strip
+    0 and rows beyond the producer's allocation (HP) are zero by the
+    layout contract, so they are memset instead of read (memsets run at
+    issue time only). All copy shapes are static; pl.when selects the
+    branch at runtime. ``slot=None`` = single-buffer scratch; otherwise
+    the 2-slot double-buffer layout.
+    """
+    hp_in = x_hbm.shape[1]
+    wp_in = x_hbm.shape[2]
+    c = x_hbm.shape[3]
+
+    def copy(src_row, dst_row, rows):
+        dst = (xs.at[pl.ds(dst_row, rows)] if slot is None
+               else xs.at[slot, pl.ds(dst_row, rows)])
+        cp = pltpu.make_async_copy(
+            x_hbm.at[b, pl.ds(src_row, rows)], dst, sem)
+        (cp.start if start else cp.wait)()
+
+    def memset(r):
+        if start:
+            zero = jnp.zeros((1, wp_in, c), jnp.int8)
+            if slot is None:
+                xs[r : r + 1] = zero
+            else:
+                xs[slot, r : r + 1] = zero
+
+    if n_strips == 1:
+        cnt = min(hp_in, t + 1)
+        memset(0)
+        copy(0, 1, cnt)
+        for r in range(1 + cnt, t + 2):
+            memset(r)
+        return
+    cnt_last = min(t + 2, hp_in - ((n_strips - 1) * t - 1))
+
+    @pl.when(strip == 0)
+    def _first():
+        memset(0)
+        copy(0, 1, t + 1)
+
+    if n_strips > 2:
+        @pl.when(jnp.logical_and(strip > 0, strip < n_strips - 1))
+        def _interior():
+            copy(strip * t - 1, 0, t + 2)
+
+    @pl.when(strip == n_strips - 1)
+    def _last():
+        copy(strip * t - 1, 0, cnt_last)
+        for r in range(cnt_last, t + 2):
+            memset(r)
+
+
 def _kernel(s_x, s_out, t, h, w, pool, out_dtype, n_strips,
             w_ref, sw_ref, b_ref, x_hbm, out_ref, xs, sem):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    hp_in = x_hbm.shape[1]
-    wp_in = x_hbm.shape[2]
     c = x_hbm.shape[3]
     co = w_ref.shape[-1]
 
-    def copy(src_row: int | jax.Array, dst_row: int, rows: int):
-        cp = pltpu.make_async_copy(
-            x_hbm.at[b, pl.ds(src_row, rows)],
-            xs.at[pl.ds(dst_row, rows)], sem)
-        cp.start()
-        cp.wait()
-
-    zero_row = jnp.zeros((1, wp_in, c), jnp.int8)
-
-    # Halo rows: strip i needs input rows [i*t - 1, i*t + t + 1). The top
-    # row of strip 0 and any rows beyond the producer's allocation (HP)
-    # are zero by the layout contract — memset them instead of reading.
-    # All copy shapes are static; pl.when selects the branch at runtime.
-    if n_strips == 1:
-        cnt = min(hp_in, t + 1)
-        xs[0:1] = zero_row
-        copy(0, 1, cnt)
-        for r in range(1 + cnt, t + 2):
-            xs[r : r + 1] = zero_row
-    else:
-        cnt_last = min(t + 2, hp_in - ((n_strips - 1) * t - 1))
-
-        @pl.when(i == 0)
-        def _first():
-            xs[0:1] = zero_row
-            copy(0, 1, t + 1)
-
-        if n_strips > 2:
-            @pl.when(jnp.logical_and(i > 0, i < n_strips - 1))
-            def _interior():
-                copy(i * t - 1, 0, t + 2)
-
-        @pl.when(i == n_strips - 1)
-        def _last():
-            copy(i * t - 1, 0, cnt_last)
-            for r in range(cnt_last, t + 2):
-                xs[r : r + 1] = zero_row
+    _halo_dma(x_hbm, xs, sem, b, i, t, n_strips, start=True)
+    _halo_dma(x_hbm, xs, sem, b, i, t, n_strips, start=False)
 
     _dots_epilogue(s_x, s_out, t, h, w, pool, out_dtype, n_strips, i,
                    lambda dy, dx: xs[dy : dy + t, dx : dx + w, :],
@@ -166,47 +184,12 @@ def _kernel_db(s_x, s_out, t, h, w, pool, out_dtype, n_strips,
     after the dots is safe."""
     b = pl.program_id(0)
     i = pl.program_id(1)
-    hp_in = x_hbm.shape[1]
-    wp_in = x_hbm.shape[2]
     c = x_hbm.shape[3]
     co = w_ref.shape[-1]
-    zero_row = jnp.zeros((1, wp_in, c), jnp.int8)
 
     def halo_dma(strip, slot, start):
-        def copy(src_row, dst_row, rows):
-            cp = pltpu.make_async_copy(
-                x_hbm.at[b, pl.ds(src_row, rows)],
-                xs.at[slot, pl.ds(dst_row, rows)], sems.at[slot])
-            (cp.start if start else cp.wait)()
-
-        def memset(r):
-            if start:
-                xs[slot, r : r + 1] = zero_row
-
-        if n_strips == 1:
-            cnt = min(hp_in, t + 1)
-            memset(0)
-            copy(0, 1, cnt)
-            for r in range(1 + cnt, t + 2):
-                memset(r)
-            return
-        cnt_last = min(t + 2, hp_in - ((n_strips - 1) * t - 1))
-
-        @pl.when(strip == 0)
-        def _first():
-            memset(0)
-            copy(0, 1, t + 1)
-
-        if n_strips > 2:
-            @pl.when(jnp.logical_and(strip > 0, strip < n_strips - 1))
-            def _interior():
-                copy(strip * t - 1, 0, t + 2)
-
-        @pl.when(strip == n_strips - 1)
-        def _last():
-            copy(strip * t - 1, 0, cnt_last)
-            for r in range(cnt_last, t + 2):
-                memset(r)
+        _halo_dma(x_hbm, xs, sems.at[slot], b, strip, t, n_strips,
+                  start=start, slot=slot)
 
     slot = jax.lax.rem(i, 2)
 
@@ -258,26 +241,27 @@ def conv3x3_int8_chain(x_hal, s_x, w_q9, s_w, bias, h: int, w: int,
         t_rows = (int(os.environ["AZNET_INT8_TROWS"])
                   if os.environ.get("AZNET_INT8_TROWS")
                   else _auto_t_rows(h, w))
+    if double_buffer is None:
+        import os
+
+        # AZNET_INT8_DB=0 disables the double-buffered halo DMA (A/B).
+        double_buffer = os.environ.get("AZNET_INT8_DB", "1") != "0"
     # VMEM budget clamp: the epilogue's int32 acc + f32 y cost t*w*co*8
-    # bytes on the scoped stack (plus the input scratch); conv1_2-sized
-    # strips (w=800, t=16, co=128 -> 13 MB) blow the 16 MB limit.
+    # bytes on the scoped stack, plus the input scratch (x2 when double-
+    # buffered); conv1_2-sized strips (w=800, t=16, co=128 -> 13 MB) blow
+    # the 16 MB limit.
     co_ = w_q9.shape[-1]
     wp_ = x_hal.shape[-2]
     c_ = x_hal.shape[-1]
+    n_slots = 2 if double_buffer else 1
     while (t_rows > 8 and t_rows * w * co_ * 8
-           + (t_rows + 2) * wp_ * c_ > 11 * 2 ** 20):
+           + n_slots * (t_rows + 2) * wp_ * c_ > 11 * 2 ** 20):
         t_rows //= 2
     if pool:
         if s_out is None:
             raise ValueError("fused pool is only for chain-interior layers")
         if h % 2 or w % 2 or t_rows % 2:
             raise ValueError(f"fused 2x2 pool needs even h/w/t ({h},{w},{t_rows})")
-
-    if double_buffer is None:
-        import os
-
-        # AZNET_INT8_DB=0 disables the double-buffered halo DMA (A/B).
-        double_buffer = os.environ.get("AZNET_INT8_DB", "1") != "0"
 
     @jax.custom_batching.custom_vmap
     def conv(x, w9, sw, b_):

@@ -162,6 +162,7 @@ def test_int8_chain_walk_matches_xla_backend(monkeypatch):
     monkeypatch.setattr(vggmod, "VGG16_LAYOUT", mini)
     monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", ("conv1_1",))
     monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
+    calls = _spy_chain_kernel(monkeypatch)
 
     rng = np.random.RandomState(5)
     scales = (0.5, 0.25, 0.25, 0.5)  # powers of two: requant is exact
@@ -183,31 +184,62 @@ def test_int8_chain_walk_matches_xla_backend(monkeypatch):
             # power-of-two scales -> bit-equal up to f32 fma reassociation
             assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), (
                 backend, d.max())
+    # "pallas" must have used the chain kernel (4 chain layers x 2
+    # shapes); xla/pallas_strip contribute zero chain calls.
+    assert len(calls) == 8, len(calls)
+
+
+def _spy_chain_kernel(monkeypatch):
+    """Count conv3x3_int8_chain invocations (vgg imports it per-call, so
+    patching the defining module is picked up). Guards against the walk
+    silently falling back to a different backend (a real bug once: a
+    monkeypatched prefix made the chain gate False and the ext test
+    passed against the strip kernel)."""
+    from aznet_tpu.ops.pallas import conv_int8_chain as mod
+
+    calls = []
+    real = mod.conv3x3_int8_chain
+
+    def spy(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(mod, "conv3x3_int8_chain", spy)
+    return calls
 
 
 def test_int8_chain_ext_conv1_matches_xla(monkeypatch):
     """INT8_CHAIN_FROM='conv1_2': the 64-channel conv1_2/conv2_1 run as
     chain kernels with zero lane-padding to 128. Oracle: the XLA int8
-    backend with the same quantization boundary (prefix = conv1_1 only),
+    backend with the same quantization boundary (prefix monkeypatched to
+    conv1_1-only for the oracle; the pallas side reaches it via the
+    chain_ext gate with the REAL 3-name prefix, which requires the
+    128-channel convs of the mini layout to pass the chain check),
     power-of-two scales -> equal up to f32 fma reassociation."""
     from aznet_tpu.models import vgg as vggmod
 
     mini = (("conv1_1", 64), ("conv1_2", 64), ("pool1", None),
             ("conv2_1", 128), ("conv2_2", 128))
     monkeypatch.setattr(vggmod, "VGG16_LAYOUT", mini)
-    monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", ("conv1_1",))
     monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
+    calls = _spy_chain_kernel(monkeypatch)
 
     rng = np.random.RandomState(6)
     x = rng.uniform(-1, 1, (1, 16, 16, 3)).astype(np.float32)
     scales = (0.5, 0.25, 0.25)
     outs = {}
-    for backend, frm in (("xla", "conv2_2"), ("pallas", "conv1_2")):
+    real_prefix = ("conv1_1", "conv1_2", "conv2_1")
+    for backend, frm, prefix in (("xla", "conv2_2", ("conv1_1",)),
+                                 ("pallas", "conv1_2", real_prefix)):
+        monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", prefix)
         trunk = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
                                   int8_scales=scales, int8_backend=backend,
                                   int8_chain_from=frm)
         params = trunk.init(jax.random.PRNGKey(0), jnp.asarray(x))
         outs[backend] = np.asarray(trunk.apply(params, jnp.asarray(x)))
+    # the pallas walk must actually have run chain kernels (conv1_2,
+    # conv2_1, conv2_2 = 3 chain calls), not a fallback backend
+    assert len(calls) == 3, len(calls)
     assert outs["xla"].shape == (1, 8, 8, 128)
     d = np.abs(outs["pallas"] - outs["xla"])
     assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), d.max()

@@ -48,17 +48,20 @@ def main():
         # lower bound: input already sorted+transposed; no unpermute.
         # (s carries the scan's carry perturbation -> the kernel operand
         # varies per step, so XLA cannot hoist the call out of the scan.)
+        n_pad = -(-n // tile) * tile  # match the wrappers' padding
         lane = jnp.swapaxes(b, 1, 2) + s[:, None, :] * 1e-20
-        num_tiles = n // tile
-        valid = jnp.ones((bsz, 1, n), jnp.float32)
+        lane = jnp.pad(lane, ((0, 0), (0, 0), (0, n_pad - n)))
+        num_tiles = n_pad // tile
+        valid = jnp.pad(jnp.ones((bsz, 1, n), jnp.float32),
+                        ((0, 0), (0, 0), (0, n_pad - n)))
         keep = pl.pallas_call(
             partial(nk._nms_kernel_nosub, 1.0, tile),
             grid=(bsz, num_tiles),
             in_specs=[
                 pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((1, 4, n), lambda b_, i: (b_, 0, 0),
+                pl.BlockSpec((1, 4, n_pad), lambda b_, i: (b_, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, n), lambda b_, i: (b_, 0, 0),
+                pl.BlockSpec((1, 1, n_pad), lambda b_, i: (b_, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((1, num_tiles, tile),
@@ -69,17 +72,24 @@ def main():
         )(jnp.float32(0.5).reshape(1, 1), lane, valid)
         return keep
 
+    # Every flag explicit: nms_pallas_batched's DEFAULTS track the A/B
+    # winner, so relying on them here would alias rows to each other.
     variants = {
         "base": lambda b, s: nk.nms_pallas_batched(
-            b, s, 0.5, tile=tile, lane_gather=False),
+            b, s, 0.5, tile=tile, derive_sub=False, lane_gather=False,
+            unpermute="scatter"),
         "derive_sub": lambda b, s: nk.nms_pallas_batched(
-            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=False),
+            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=False,
+            unpermute="scatter"),
         "lane_gather": lambda b, s: nk.nms_pallas_batched(
-            b, s, 0.5, tile=tile, lane_gather=True),
+            b, s, 0.5, tile=tile, derive_sub=False, lane_gather=True,
+            unpermute="scatter"),
         "derive+lane": lambda b, s: nk.nms_pallas_batched(
-            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=True),
+            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=True,
+            unpermute="scatter"),
         "lane+gatherup": lambda b, s: nk.nms_pallas_batched(
-            b, s, 0.5, tile=tile, lane_gather=True, unpermute="gather"),
+            b, s, 0.5, tile=tile, derive_sub=False, lane_gather=True,
+            unpermute="gather"),
         "kernel_only": kernel_only,
     }
 
