@@ -243,3 +243,30 @@ def test_int8_chain_ext_conv1_matches_xla(monkeypatch):
     assert outs["xla"].shape == (1, 8, 8, 128)
     d = np.abs(outs["pallas"] - outs["xla"])
     assert d.max() <= 1e-5 * max(1.0, np.abs(outs["xla"]).max()), d.max()
+
+
+def test_int8_chain_guards(monkeypatch):
+    """Invalid INT8_CHAIN_FROM raises; a layout whose pool directly
+    follows the bf16 prefix is rejected (the generic pool branch would
+    otherwise pool the haloed layout silently)."""
+    from aznet_tpu.models import vgg as vggmod
+
+    monkeypatch.setenv("AZNET_INT8_INTERPRET", "1")
+    x = jnp.zeros((1, 8, 8, 3), jnp.float32)
+    scales = tuple([0.5] * 12)
+
+    bad = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
+                            int8_scales=scales, int8_chain_from="conv12")
+    params = bad.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="INT8_CHAIN_FROM"):
+        bad.apply(params, x)
+
+    mini = (("conv1_1", 128), ("pool1", None), ("conv2_1", 128),
+            ("conv2_2", 128))
+    monkeypatch.setattr(vggmod, "VGG16_LAYOUT", mini)
+    monkeypatch.setattr(vggmod.VGG16Trunk, "_INT8_BF16_PREFIX", ("conv1_1",))
+    trunk = vggmod.VGG16Trunk(dtype=jnp.float32, int8_mode=True,
+                              int8_scales=(0.5, 0.5))
+    params = trunk.init(jax.random.PRNGKey(0), x)
+    with pytest.raises(ValueError, match="pool directly follows"):
+        trunk.apply(params, x)
