@@ -186,7 +186,8 @@ def main():
     elif preset == "resnet50_1080p":
         batches = [4 * n_dev]  # 1088x1920 activations: small per-chip batch
     else:
-        batches = [16 * n_dev, 32 * n_dev]  # global batch; B shards over 'data'
+        # global batch; B shards over 'data' (b64 measured +0.5% over b32)
+        batches = [16 * n_dev, 32 * n_dev, 64 * n_dev]
 
     best = 0.0
     for b in batches:
