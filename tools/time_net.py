@@ -24,6 +24,9 @@ def main():
     p.add_argument("--raw-hw", type=int, nargs=2, default=(375, 500))
     p.add_argument("--canvas", type=int, nargs=2, default=(608, 800))
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--int8", action="store_true",
+                   help="calibrate + time the int8 chain trunk / int8 "
+                        "heads (the bench default path; vgg16 only)")
     args = p.parse_args()
     if args.cpu:
         import jax
@@ -46,6 +49,20 @@ def main():
         cfg = cfg_from_list(cfg, args.set_cfgs)
 
     net = build_az_net(cfg)
+    if args.int8:
+        from aznet_tpu.ops.quant import (calibrate_head_int8,
+                                         calibrate_trunk_int8,
+                                         with_int8_scales)
+
+        rngc = np.random.RandomState(7)
+        calib = rngc.randint(
+            0, 256, (2,) + tuple(args.canvas) + (3,)).astype(np.float32)
+        calib -= np.asarray(cfg.PIXEL_MEANS, np.float32)
+        scales = calibrate_trunk_int8(net, calib, batch_size=2)
+        head_scales = calibrate_head_int8(net, calib, scales)
+        cfg = with_int8_scales(cfg, scales, head_scales)
+        net = build_az_net(cfg, params=net.params)
+        print(f"# int8: {len(scales)}+2 scales calibrated", flush=True)
     b = args.batch
     rng = np.random.RandomState(0)
     ims = jnp.asarray(rng.randint(0, 256, (b,) + tuple(args.raw_hw) + (3,)).astype(np.uint8))
