@@ -135,11 +135,14 @@ def _cast_inference_params(params, cfg: Config):
 
 
 def _propose_core(model, params, cfg: Config, image, canvas_hw,
-                  src_hw=None, scale=None):
+                  src_hw=None, scale=None, roi_wrap=None):
     """image: raw [H, W, 3] BGR (device array) -> (boxes, scores, valid) in
     ORIGINAL image coordinates. ``src_hw``/``scale``: dynamic true extents +
     host-computed scale when ``image`` is zero-padded to a static raw shape
-    (the canvas-bucketed batched path)."""
+    (the canvas-bucketed batched path). ``roi_wrap``: optional decorator
+    around the per-level head call — the region-parallel inference path
+    (parallel/inference.py) injects a sharding constraint on the frontier
+    here so XLA partitions ROI pool + fc over the mesh."""
     params = _cast_inference_params(params, cfg)
     blob, im_scale, (vh, vw) = preprocess_image(
         image, cfg.PIXEL_MEANS, cfg.TEST.SCALES[0], cfg.TEST.MAX_SIZE,
@@ -150,6 +153,9 @@ def _propose_core(model, params, cfg: Config, image, canvas_hw,
 
     def roi_fwd(f, r):
         return model.apply(params, f, r, method="roi_forward")
+
+    if roi_wrap is not None:
+        roi_fwd = roi_wrap(roi_fwd)
 
     boxes, scores, valid = az_search(
         roi_fwd, feat, (vh, vw), cfg.SEAR,
@@ -337,13 +343,15 @@ def im_detect(net: Net, im: np.ndarray, boxes: np.ndarray):
 # ---------------------------------------------------------------------------
 
 
-def make_propose_batch(model, cfg: Config, canvas_hw):
+def make_propose_batch(model, cfg: Config, canvas_hw, roi_wrap=None):
     """Returns a jittable ``(params, images [B,H,W,3] raw BGR) -> (boxes,
-    scores, valid)`` over a fixed canvas; boxes in original coordinates."""
+    scores, valid)`` over a fixed canvas; boxes in original coordinates.
+    ``roi_wrap`` threads to :func:`_propose_core` (region-parallel path)."""
 
     def fn(params, images):
         def one(image):
-            return _propose_core(model, params, cfg, image, canvas_hw)
+            return _propose_core(model, params, cfg, image, canvas_hw,
+                                 roi_wrap=roi_wrap)
 
         return jax.vmap(one)(images)
 

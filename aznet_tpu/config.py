@@ -140,7 +140,8 @@ class TestConfig:
 class ModelConfig:
     """Network architecture knobs (the reference keeps these in prototxts)."""
 
-    BACKBONE: str = "vgg16"  # vgg16 | resnet50 | smallnet
+    # vgg16 | resnet50 | caffenet | vgg_cnn_m_1024 | smallnet
+    BACKBONE: str = "vgg16"
     # Channel-width multiplier (1.0 = the reference architecture). Smaller
     # values keep the exact layer/sharding structure at a fraction of the
     # FLOPs — used by multi-chip dry runs and CPU tests.
@@ -155,6 +156,9 @@ class ModelConfig:
     # Detection classes (VOC: 20 + background).
     NUM_CLASSES: int = 21
     FC_DIM: int = 4096
+    # fc7 width when it differs from fc6 (VGG_CNN_M_1024's fc7 is 1024 —
+    # SURVEY.md §2.1 smaller nets [M]); 0 = same as FC_DIM.
+    FC7_DIM: int = 0
     DROPOUT: float = 0.5
     # Compute dtype for conv/matmul ("bfloat16" rides the MXU; params stay
     # f32). "int8" (inference-only, vgg16) runs the trunk convs as int8

@@ -36,6 +36,7 @@ class AZNet(nn.Module):
         self.head = AZHead(
             num_templates=mc.NUM_TEMPLATES,
             fc_dim=mc.FC_DIM,
+            fc7_dim=mc.FC7_DIM,
             dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
             # Heads quantize independently of the trunk: INT8_HEAD_SCALES

@@ -7,12 +7,17 @@ import jax.numpy as jnp
 from aznet_tpu.config import ModelConfig
 from aznet_tpu.models.vgg import VGG16Trunk
 from aznet_tpu.models.resnet import ResNet50Trunk
-from aznet_tpu.models.small import SmallTrunk
+from aznet_tpu.models.small import SmallTrunk, CaffeNetTrunk, VGGCNNM1024Trunk
 
 _BACKBONES = {
     "vgg16": VGG16Trunk,
     "resnet50": ResNet50Trunk,
     "smallnet": SmallTrunk,
+    # The reference fork's smaller prototxts (SURVEY.md §2.1 [M]). Pair
+    # caffenet/vgg_cnn_m_1024 with MODEL.POOL_SIZE 6; the latter also with
+    # MODEL.FC7_DIM 1024.
+    "caffenet": CaffeNetTrunk,
+    "vgg_cnn_m_1024": VGGCNNM1024Trunk,
 }
 
 

@@ -29,6 +29,7 @@ class FRCNN(nn.Module):
         self.head = FRCNNHead(
             num_classes=mc.NUM_CLASSES,
             fc_dim=mc.FC_DIM,
+            fc7_dim=mc.FC7_DIM,
             dropout=mc.DROPOUT,
             dtype=self.trunk.dtype,
             int8_scales=(tuple(mc.INT8_HEAD_SCALES)

@@ -31,6 +31,8 @@ class _FCStack(nn.Module):
     """
 
     fc_dim: int = 4096
+    # fc7 width; 0 = fc_dim (VGG_CNN_M_1024 uses 4096/1024).
+    fc7_dim: int = 0
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
     int8_scales: tuple = ()
@@ -45,7 +47,7 @@ class _FCStack(nn.Module):
         x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
-        x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc7")(x)
+        x = nn.Dense(self.fc7_dim or self.fc_dim, dtype=self.dtype, name="fc7")(x)
         x = nn.relu(x)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
         return x
@@ -84,6 +86,7 @@ class AZHead(nn.Module):
 
     num_templates: int = 11
     fc_dim: int = 4096
+    fc7_dim: int = 0
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
     int8_scales: tuple = ()
@@ -91,7 +94,7 @@ class AZHead(nn.Module):
     @nn.compact
     def __call__(self, roi_feats, train: bool = False):
         k = self.num_templates
-        x = _FCStack(self.fc_dim, self.dropout, self.dtype,
+        x = _FCStack(self.fc_dim, self.fc7_dim, self.dropout, self.dtype,
                      self.int8_scales, name="fc")(roi_feats, train)
         zoom = nn.Dense(1, dtype=jnp.float32, name="zoom_score",
                         kernel_init=nn.initializers.normal(0.01))(x)
@@ -111,13 +114,14 @@ class FRCNNHead(nn.Module):
 
     num_classes: int = 21
     fc_dim: int = 4096
+    fc7_dim: int = 0
     dropout: float = 0.5
     dtype: Any = jnp.bfloat16
     int8_scales: tuple = ()
 
     @nn.compact
     def __call__(self, roi_feats, train: bool = False):
-        x = _FCStack(self.fc_dim, self.dropout, self.dtype,
+        x = _FCStack(self.fc_dim, self.fc7_dim, self.dropout, self.dtype,
                      self.int8_scales, name="fc")(roi_feats, train)
         cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls_score",
                        kernel_init=nn.initializers.normal(0.01))(x)

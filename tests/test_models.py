@@ -124,3 +124,60 @@ def test_resnet50_aznet_propose_path():
         feat[0], (64, 64), scfg, num_templates=5)
     assert boxes.shape == (5, 4)
     assert np.isfinite(np.asarray(scores)[np.asarray(valid)]).all()
+
+
+# ---------------------------------------------------------------------------
+# Reference-lineage small nets: CaffeNet / VGG_CNN_M_1024 (SURVEY §2.1 [M])
+# ---------------------------------------------------------------------------
+
+
+def test_lrn_matches_numpy_reference():
+    """Caffe ACROSS_CHANNELS LRN: alpha/n inside the window sum."""
+    from aznet_tpu.models.small import lrn
+
+    rng = np.random.RandomState(0)
+    x = rng.normal(0, 2, (2, 3, 4, 7)).astype(np.float32)
+    n, alpha, beta, k = 5, 1e-4, 0.75, 1.0
+    want = np.empty_like(x)
+    for c in range(7):
+        lo, hi = max(0, c - n // 2), min(7, c + n // 2 + 1)
+        ssum = (x[..., lo:hi] ** 2).sum(-1)
+        want[..., c] = x[..., c] / (k + (alpha / n) * ssum) ** beta
+    got = np.asarray(lrn(jnp.asarray(x), n, alpha, beta, k))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("backbone,out_ch,fc7", [
+    ("caffenet", 256, 0),
+    ("vgg_cnn_m_1024", 512, 1024),
+])
+def test_lineage_small_net_shapes(backbone, out_ch, fc7):
+    """Both fork prototxt nets: stride-16 trunks, POOL_SIZE=6 heads; the
+    M_1024 net's fc7 is 1024-wide (MODEL.FC7_DIM)."""
+    mc = ModelConfig(BACKBONE=backbone, POOL_SIZE=6, FC_DIM=128,
+                     FC7_DIM=min(fc7, 32), NUM_TEMPLATES=5, NUM_CLASSES=4,
+                     COMPUTE_DTYPE="float32")
+    model = AZNet(model_cfg=mc)
+    params, images, rois = _init(model)
+    feat = model.apply(params, images, method="features")
+    assert feat.shape == (1, 4, 4, out_ch)  # 64/16 = 4: stride-16 contract
+    out = model.apply(params, images, rois)
+    assert out["adj_score"].shape == (3, 5)
+    if fc7:
+        fc7_kernel = params["params"]["head"]["fc"]["fc7"]["kernel"]
+        assert fc7_kernel.shape == (128, 32)
+    # FRCNN head over the same trunk
+    det = FRCNN(model_cfg=mc)
+    dp, dim, drois = _init(det)
+    dout = det.apply(dp, dim, drois)
+    assert dout["cls_score"].shape == (3, 4)
+
+
+def test_caffe_ceil_mode_pool_shape():
+    """3x3/2 pool with (0,1) padding == Caffe's ceil((H-3)/2)+1 sizes."""
+    from aznet_tpu.models.small import _pool3x2
+
+    for h in (7, 8, 9, 10):
+        out = _pool3x2(jnp.zeros((1, h, h, 4)))
+        want = -(-(h - 3) // 2) + 1  # ceil((h-3)/2) + 1
+        assert out.shape[1] == want, (h, out.shape[1], want)

@@ -114,6 +114,64 @@ def test_sharded_propose_matches_single_device():
     np.testing.assert_allclose(np.asarray(boxes), np.asarray(single[0]), atol=1e-3)
 
 
+def _propose_cfg():
+    return cfg_from_dict(
+        Config(),
+        {
+            "MODEL": {"BACKBONE": "smallnet", "FC_DIM": 32, "NUM_TEMPLATES": 5,
+                      "COMPUTE_DTYPE": "float32"},
+            "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 128, "MAX_LEVELS": 2,
+                     "NUM_PROPOSALS": 10},
+            "TEST": {"SCALES": [64], "MAX_SIZE": 128},
+        },
+    )
+
+
+def test_region_sharded_propose_matches_single_device():
+    """Region parallelism (SURVEY §5.7's SP analog): the search frontier
+    shards over 'model' WITHIN each image; results must equal unsharded."""
+    from aznet_tpu.api import build_az_net, make_propose_batch
+    from aznet_tpu.parallel.inference import make_sharded_propose
+    from aznet_tpu.config import cfg_from_dict
+
+    cfg = _propose_cfg()
+    net = build_az_net(cfg)
+    mesh = make_mesh(8, model_parallel=4)  # DP 2 x region-parallel 4
+    canvas = (64, 128)
+    sharded = make_sharded_propose(net.model, cfg, canvas, mesh,
+                                   shard_regions=True)
+    rng = np.random.RandomState(0)
+    ims = jnp.asarray(rng.randint(0, 256, (2, 96, 128, 3)).astype(np.uint8))
+    with mesh:
+        boxes, scores, valid = sharded(net.params, ims)
+    single = jax.jit(make_propose_batch(net.model, cfg, canvas))(net.params, ims)
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(single[2]))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(single[1]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(single[0]), atol=1e-3)
+
+
+def test_latency_propose_matches_single_device():
+    """Single-image path with the frontier sharded over ALL 8 devices."""
+    from aznet_tpu.api import build_az_net, make_propose_batch
+    from aznet_tpu.parallel.inference import make_latency_propose
+    from aznet_tpu.config import cfg_from_dict
+
+    cfg = _propose_cfg()
+    net = build_az_net(cfg)
+    mesh = make_mesh(8, model_parallel=2)
+    canvas = (64, 128)
+    lat = make_latency_propose(net.model, cfg, canvas, mesh)
+    rng = np.random.RandomState(3)
+    im = jnp.asarray(rng.randint(0, 256, (96, 128, 3)).astype(np.uint8))
+    with mesh:
+        boxes, scores, valid = lat(net.params, im)
+    single = jax.jit(make_propose_batch(net.model, cfg, canvas))(
+        net.params, im[None])
+    np.testing.assert_array_equal(np.asarray(valid), np.asarray(single[2][0]))
+    np.testing.assert_allclose(np.asarray(scores), np.asarray(single[1][0]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(boxes), np.asarray(single[0][0]), atol=1e-3)
+
+
 def test_train_loop_with_mesh(tmp_path):
     from aznet_tpu.config import cfg_from_dict
     from aznet_tpu.data.synthetic import SyntheticImdb
