@@ -63,3 +63,38 @@ def test_resnet50_1080p_config():
     im = np.random.RandomState(1).randint(0, 255, (96, 128, 3), np.uint8)
     props = im_propose(net, im)
     assert props.shape[1] == 5 and 0 < props.shape[0] <= 50
+
+
+def test_all_experiment_cfgs_load():
+    """Every YAML under experiments/cfgs type-checks against the schema
+    (catches key drift in newly added configs, e.g. the fork's small-net
+    variants az_caffenet_voc / az_vgg_cnn_m_1024_voc)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(CFGS, "*.yml")))
+    assert len(files) >= 9
+    for f in files:
+        cfg = cfg_from_file(Config(), f)
+        assert cfg.SEAR.NUM_PROPOSALS > 0, f
+
+
+def test_small_net_voc_cfgs_propose():
+    """The fork's small-net configs drive the propose path end to end."""
+    for name, backbone, fc7 in [
+        ("az_caffenet_voc.yml", "caffenet", 0),
+        ("az_vgg_cnn_m_1024_voc.yml", "vgg_cnn_m_1024", 1024),
+    ]:
+        cfg = cfg_from_file(Config(), os.path.join(CFGS, name))
+        assert cfg.MODEL.BACKBONE == backbone
+        assert cfg.MODEL.POOL_SIZE == 6
+        assert cfg.MODEL.FC7_DIM == fc7
+        small = cfg_from_dict(
+            cfg, {"MODEL": {"FC_DIM": 64, "FC7_DIM": min(fc7, 32),
+                            "COMPUTE_DTYPE": "float32"},
+                  "TEST": {"SCALES": (64,), "MAX_SIZE": 96},
+                  "SEAR": {"FRONTIER_CAP": 16, "CAND_BUF": 512,
+                           "MAX_LEVELS": 3, "NUM_PROPOSALS": 50}})
+        net = build_az_net(small)
+        im = np.random.RandomState(2).randint(0, 255, (96, 128, 3), np.uint8)
+        props = im_propose(net, im)
+        assert props.shape[1] == 5 and 0 < props.shape[0] <= 50, name
