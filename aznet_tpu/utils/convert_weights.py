@@ -47,15 +47,34 @@ VGG16_CONV_NAMES = (
     "conv5_3",
 )
 
+# The fork's smaller nets (SURVEY.md §2.1 [M]): 5 convs each. Grouped
+# layers (CaffeNet conv2/conv4/conv5, group=2) need NO special handling —
+# Caffe stores grouped kernels as (out, in/g, kh, kw) and Flax's
+# feature_group_count expects (kh, kw, in/g, out): the same transpose.
+SMALL_TRUNK_CONV_NAMES = ("conv1", "conv2", "conv3", "conv4", "conv5")
 
-def convert_vgg16_trunk(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]]):
-    """``{name: (W, b)}`` -> flax trunk param dict for VGG16Trunk."""
+_TRUNK_LAYOUTS = {
+    # arch -> (conv names, conv5 channels, roi pool size)
+    "vgg16": (VGG16_CONV_NAMES, 512, 7),
+    "caffenet": (SMALL_TRUNK_CONV_NAMES, 256, 6),
+    "vgg_cnn_m_1024": (SMALL_TRUNK_CONV_NAMES, 512, 6),
+}
+
+
+def convert_trunk(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]],
+                  arch: str = "vgg16"):
+    """``{name: (W, b)}`` -> flax trunk param dict for the named backbone."""
+    names = _TRUNK_LAYOUTS[arch][0]
     out = {}
-    for name in VGG16_CONV_NAMES:
+    for name in names:
         if name not in caffe_params:
             raise KeyError(f"missing conv layer {name!r} in caffe params")
         out[name] = convert_conv(*caffe_params[name])
     return out
+
+
+def convert_vgg16_trunk(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]]):
+    return convert_trunk(caffe_params, "vgg16")
 
 
 def convert_az_head(caffe_params: Dict[str, Tuple[np.ndarray, np.ndarray]],
@@ -97,18 +116,26 @@ def load_npz(path: str) -> Dict[str, Tuple[np.ndarray, np.ndarray]]:
 
 
 def convert_npz_to_checkpoint(npz_path: str, out_dir: str,
-                              arch: str = "vgg16", pool: int = 7,
-                              channels: int = 512):
+                              arch: str = "vgg16", pool: int | None = None,
+                              channels: int | None = None,
+                              backbone: str = "vgg16"):
     """End-to-end ingest: Caffe-export .npz -> orbax params checkpoint.
 
     ``arch``: 'vgg16' (trunk only — ImageNet warm start), 'az' (trunk +
-    AZ head), or 'frcnn' (trunk + detection head). Head layers absent from
-    the npz are simply omitted (load with partial restore / warm start).
+    AZ head), or 'frcnn' (trunk + detection head). ``backbone`` picks the
+    trunk layout ('vgg16' | 'caffenet' | 'vgg_cnn_m_1024'); pool/channels
+    default from it. Head layers absent from the npz are simply omitted
+    (load with partial restore / warm start).
     """
     from aznet_tpu.utils.checkpoint import Checkpointer
 
+    if arch in _TRUNK_LAYOUTS:  # trunk-only ingest named by backbone
+        backbone, arch = arch, "trunk"
+    names, def_ch, def_pool = _TRUNK_LAYOUTS[backbone]
+    pool = def_pool if pool is None else pool
+    channels = def_ch if channels is None else channels
     caffe = load_npz(npz_path)
-    params: Dict = {"trunk": convert_vgg16_trunk(caffe)}
+    params: Dict = {"trunk": convert_trunk(caffe, backbone)}
     if arch == "az" and "fc6" in caffe:
         params["head"] = convert_az_head(caffe, pool=pool, channels=channels)
     elif arch == "frcnn" and "fc6" in caffe:

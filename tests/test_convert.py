@@ -64,3 +64,46 @@ def test_convert_vgg16_trunk_loads_into_model():
     out = trunk.apply({"params": trunk_params}, jnp.ones((1, 32, 32, 3)))
     assert out.shape == (1, 2, 2, 512)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_caffenet_trunk_grouped_convs():
+    """Grouped Caffe kernels (out, in/g, kh, kw) land directly in Flax's
+    feature_group_count layout — round-trip into CaffeNetTrunk and run."""
+    from aznet_tpu.utils.convert_weights import convert_trunk
+    from aznet_tpu.models.small import CaffeNetTrunk
+
+    rng = np.random.RandomState(3)
+    spec = {  # name: (out, in_per_group, k)
+        "conv1": (96, 3, 11), "conv2": (256, 48, 5), "conv3": (384, 256, 3),
+        "conv4": (384, 192, 3), "conv5": (256, 192, 3),
+    }
+    caffe = {n: (rng.randn(o, i, k, k).astype(np.float32) * 0.01,
+                 rng.randn(o).astype(np.float32) * 0.01)
+             for n, (o, i, k) in spec.items()}
+    trunk_params = convert_trunk(caffe, "caffenet")
+
+    trunk = CaffeNetTrunk(dtype=jnp.float32)
+    ref = jax.eval_shape(lambda: trunk.init(jax.random.PRNGKey(0),
+                                            jnp.zeros((1, 64, 64, 3))))
+    for name, sub in ref["params"].items():
+        assert trunk_params[name]["kernel"].shape == sub["kernel"].shape, name
+    out = trunk.apply({"params": trunk_params}, jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 4, 4, 256)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_convert_vgg_cnn_m_1024_trunk():
+    from aznet_tpu.utils.convert_weights import convert_trunk
+    from aznet_tpu.models.small import VGGCNNM1024Trunk
+
+    rng = np.random.RandomState(4)
+    spec = {"conv1": (96, 3, 7), "conv2": (256, 96, 5), "conv3": (512, 256, 3),
+            "conv4": (512, 512, 3), "conv5": (512, 512, 3)}
+    caffe = {n: (rng.randn(o, i, k, k).astype(np.float32) * 0.01,
+                 rng.randn(o).astype(np.float32) * 0.01)
+             for n, (o, i, k) in spec.items()}
+    trunk_params = convert_trunk(caffe, "vgg_cnn_m_1024")
+    trunk = VGGCNNM1024Trunk(dtype=jnp.float32)
+    out = trunk.apply({"params": trunk_params}, jnp.ones((1, 64, 64, 3)))
+    assert out.shape == (1, 4, 4, 512)
+    assert np.isfinite(np.asarray(out)).all()

@@ -46,7 +46,8 @@ def main():
     from aznet_tpu.api import build_az_net, build_frcnn_net
     from aznet_tpu.utils.checkpoint import Checkpointer
     from aznet_tpu.utils.convert_weights import (
-        load_npz, convert_vgg16_trunk, convert_az_head, convert_frcnn_head,
+        load_npz, convert_trunk, convert_az_head, convert_frcnn_head,
+        _TRUNK_LAYOUTS,
     )
 
     cfg = Config()
@@ -54,11 +55,15 @@ def main():
         cfg = cfg_from_file(cfg, args.cfg)
     if args.set_cfgs:
         cfg = cfg_from_list(cfg, args.set_cfgs)
-    assert cfg.MODEL.BACKBONE == "vgg16", "conversion currently targets VGG-16"
+    backbone = cfg.MODEL.BACKBONE
+    assert backbone in _TRUNK_LAYOUTS, (
+        f"conversion targets the Caffe-lineage trunks {sorted(_TRUNK_LAYOUTS)}, "
+        f"not {backbone!r}")
 
     caffe = load_npz(args.npz)
-    trunk = convert_vgg16_trunk(caffe)
-    channels = trunk["conv5_3"]["bias"].shape[0]
+    trunk = convert_trunk(caffe, backbone)
+    last_conv = _TRUNK_LAYOUTS[backbone][0][-1]
+    channels = trunk[last_conv]["bias"].shape[0]
     if args.net == "az":
         head = convert_az_head(
             caffe, pool=cfg.MODEL.POOL_SIZE, channels=channels,
