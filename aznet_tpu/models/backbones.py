@@ -39,8 +39,14 @@ def get_backbone(model_cfg: ModelConfig):
                    int8_scales=tuple(model_cfg.INT8_SCALES),
                    int8_backend=model_cfg.INT8_BACKEND,
                    int8_chain_from=model_cfg.INT8_CHAIN_FROM)
+    if cls is ResNet50Trunk:
+        # Int8 bottleneck 1x1 GEMMs (models/resnet.py docstring); the
+        # stem/3x3s stay bf16. Scales from calibrate_trunk_int8_resnet.
+        return cls(dtype=dtype,
+                   int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
+                   int8_scales=tuple(model_cfg.INT8_SCALES))
     if model_cfg.COMPUTE_DTYPE == "int8":
         raise ValueError(
-            f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 "
-            f"backbone, not {model_cfg.BACKBONE!r}")
+            f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 and "
+            f"resnet50 backbones, not {model_cfg.BACKBONE!r}")
     return cls(dtype=dtype)

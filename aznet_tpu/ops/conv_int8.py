@@ -87,6 +87,39 @@ def conv3x3_int8(x_i8: jnp.ndarray, s_x, w_q: jnp.ndarray, s_w, bias,
     return quantize_acts(y, s_out)
 
 
+def quantize_weights_1x1(w: jnp.ndarray):
+    """f32 [1, 1, C, Co] (or [C, Co]) -> (int8 [C, Co], scales [Co]).
+
+    Per-output-channel symmetric scales, same scheme as
+    :func:`quantize_weights` — but a 1x1 conv needs no dx/dy packing at
+    all: it IS a matmul, so the int8 MXU gets it with zero extra HBM
+    traffic (the packing that made the XLA 3x3 path lose end-to-end,
+    DESIGN.md finding 13, does not exist here).
+    """
+    w2 = w.reshape(w.shape[-2], w.shape[-1])
+    s = jnp.maximum(jnp.max(jnp.abs(w2), axis=0) / INT8_MAX, 1e-12)
+    q = jnp.clip(jnp.round(w2 / s), -INT8_MAX, INT8_MAX).astype(jnp.int8)
+    return q, s
+
+
+def conv1x1_int8(x_i8: jnp.ndarray, s_x, w_q: jnp.ndarray, s_w,
+                 out_dtype=jnp.float32):
+    """1x1/SAME conv on int8 activations = one int8 GEMM, int32 accumulate.
+
+    x_i8: [..., C] int8 with static activation scale ``s_x`` (scalar).
+    w_q/s_w: from :func:`quantize_weights_1x1`. No bias/ReLU epilogue —
+    ResNet applies FrozenBN after, which absorbs the affine (the caller
+    fuses dequant * BN-scale into one elementwise pass under XLA).
+    Returns dequantized ``out_dtype`` activations ``[..., Co]``.
+    """
+    acc = jax.lax.dot_general(
+        x_i8, w_q,
+        dimension_numbers=(((x_i8.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (s_x * s_w)).astype(out_dtype)
+
+
 def conv3x3_f32_reference(x, w, bias):
     """Float oracle (XLA conv) for testing the GEMM formulation."""
     y = jax.lax.conv_general_dilated(

@@ -95,6 +95,65 @@ def _flatten_intermediates(tree, out=None):
     return out
 
 
+def calibrate_trunk_int8_resnet(net, images, batch_size: int = 2) -> tuple:
+    """Activation scales for the int8 ResNet-50 bottleneck 1x1 GEMMs.
+
+    Runs the bf16 trunk and reads the ``qin_absmax`` / ``qmid_absmax``
+    taps each Bottleneck sows (models/resnet.py): the block input (feeds
+    conv1 + downsample) and the post-bn2-ReLU mid activation (feeds
+    conv3). Returns 2 floats per block in block-definition order, plus a
+    trailing trunk-OUTPUT scale — the layout ``MODEL.INT8_SCALES``
+    expects for the resnet50 backbone (the model ignores the extra
+    trailing entry; ``calibrate_head_int8`` reads it as
+    ``trunk_scales[-1]``, the pooled-feature scale).
+    """
+    if net.cfg.MODEL.COMPUTE_DTYPE == "int8":
+        raise ValueError("calibrate with a bfloat16/float32 net, not int8")
+    import jax
+
+    trunk = net.model.trunk if hasattr(net.model, "trunk") else None
+    stage_sizes = getattr(trunk, "stage_sizes", (3, 4, 6))
+    block_names = [f"layer{s + 1}_block{b}"
+                   for s, n in enumerate(stage_sizes) for b in range(n)]
+
+    @jax.jit
+    def sown_maxes(params, chunk):
+        _, state = net.model.apply(params, chunk, method="features",
+                                   mutable=["intermediates"])
+        inter = state["intermediates"]
+        taps = _find_blocks(inter, set(block_names))
+        out_tap = _find_blocks(inter, {"qout_absmax"})["qout_absmax"][0]
+        return ({name: (taps[name]["qin_absmax"][0],
+                        taps[name]["qmid_absmax"][0])
+                 for name in block_names}, out_tap)
+
+    images = np.asarray(images, np.float32)
+    maxes = {n: [0.0, 0.0] for n in block_names}
+    out_max = 0.0
+    for start in range(0, images.shape[0], batch_size):
+        chunk = jnp.asarray(images[start : start + batch_size])
+        md, mo = jax.device_get(sown_maxes(net.params, chunk))
+        out_max = max(out_max, float(mo))
+        for name in block_names:
+            maxes[name][0] = max(maxes[name][0], float(md[name][0]))
+            maxes[name][1] = max(maxes[name][1], float(md[name][1]))
+    per_block = [max(v, 1e-6) / 127.0
+                 for name in block_names for v in maxes[name]]
+    return tuple(per_block + [max(out_max, 1e-6) / 127.0])
+
+
+def _find_blocks(tree, names, out=None):
+    """Collect {block_name: sub-tree} anywhere under the intermediates."""
+    if out is None:
+        out = {}
+    for k, v in tree.items():
+        if k in names:
+            out[k] = v
+        elif isinstance(v, dict) or hasattr(v, "items"):
+            _find_blocks(v, names, out)
+    return out
+
+
 def calibrate_head_int8(net, images, trunk_scales, batch_size: int = 2):
     """(s_in, s_mid) for the int8 fc6/fc7 stack.
 

@@ -121,6 +121,29 @@ def _build(preset: str):
                 cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))
         net = build_az_net(cfg, params=net.params)
         print(f"# dtype={dtype} ({len(scales)}+2 scales)", flush=True)
+    elif (dtype in ("int8", "int8_heads")
+            and cfg.MODEL.BACKBONE == "resnet50"
+            and jax.devices()[0].platform != "cpu"):
+        # ResNet int8: bottleneck 1x1 GEMMs (models/resnet.py docstring);
+        # int8_heads keeps the trunk bf16 and quantizes only the fc stack.
+        import dataclasses
+
+        from aznet_tpu.ops.quant import (calibrate_head_int8,
+                                         calibrate_trunk_int8_resnet,
+                                         with_int8_scales)
+
+        rngc = np.random.RandomState(7)
+        calib = rngc.randint(0, 256, (2,) + canvas + (3,)).astype(np.float32)
+        calib -= np.asarray(cfg.PIXEL_MEANS, np.float32)
+        scales = calibrate_trunk_int8_resnet(net, calib, batch_size=1)
+        head_scales = calibrate_head_int8(net, calib, scales, batch_size=1)
+        if dtype == "int8":
+            cfg = with_int8_scales(cfg, scales, head_scales)
+        else:  # bf16 trunk + int8 heads
+            cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
+                cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))
+        net = build_az_net(cfg, params=net.params)
+        print(f"# dtype={dtype} ({len(scales)}+2 scales)", flush=True)
     if len(jax.devices()) > 1:
         # Multi-chip: shard the batch over the 'data' mesh axis (the
         # parallel/inference.py path; per-chip batch stays the batch knob).
