@@ -123,10 +123,39 @@ def _nms_body(offset, TILE, i, rx1, ry1, rx2, ry2, thresh_ref, lane_ref,
     keep_ref[0, pl.ds(i, 1), :] = keep_i
 
 
+def _descending_order(s, mode: str):
+    """Score-descending permutation with ascending-index tie-break.
+
+    ``mode='argsort'``: ``jnp.argsort(-s, stable=True)`` — XLA's stable
+    float comparator. ``mode='intkey'``: the same EXACT order via one
+    unstable two-key integer sort: scores are bit-mapped to a uint32 key
+    whose unsigned order equals float order (IEEE sign-fold), complemented
+    for descending, with the index iota as the secondary key — (key, idx)
+    pairs are unique, so the unstable bitonic sort is deterministic and
+    equals the stable argsort while comparing plain integers instead of
+    running the stable-float comparator. Requires NaN-free scores (the
+    wrapper only ever feeds finite scores or the -inf invalid mask).
+    """
+    if mode == "argsort":
+        return jnp.argsort(-s, axis=1, stable=True)
+    assert mode == "intkey", mode
+    s = s.astype(jnp.float32) + 0.0  # fold -0.0 to +0.0 (bit-distinct,
+    # float-compare-equal; without this the key order would split the tie)
+    u = jax.lax.bitcast_convert_type(s, jnp.uint32)
+    sign = (u >> 31).astype(jnp.uint32)
+    key = u ^ (sign * jnp.uint32(0x7FFFFFFF) + jnp.uint32(0x80000000))
+    key = ~key  # descending score == ascending complemented key
+    iota = jnp.broadcast_to(jnp.arange(s.shape[1], dtype=jnp.int32),
+                            s.shape)
+    _, order = jax.lax.sort((key, iota), dimension=1, num_keys=2,
+                            is_stable=False)
+    return order
+
+
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
                        interpret: bool = False, tile: int = TILE,
                        derive_sub: bool = True, lane_gather: bool = False,
-                       unpermute: str = "scatter"):
+                       unpermute: str = "scatter", order_mode: str = "argsort"):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
     (grid = streams x tiles).
@@ -148,7 +177,7 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
         valid = jnp.ones((bsz, n), bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(valid, scores, neg_inf)
-    order = jnp.argsort(-s, axis=1, stable=True)
+    order = _descending_order(s, order_mode)
     svalid = jnp.take_along_axis(valid, order, axis=1)
 
     n_pad = int(-(-n // tile) * tile)
@@ -198,8 +227,11 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     keep_sorted = keep_rows.reshape(bsz, n_pad)[:, :n] > 0.0
     if unpermute == "gather":
         # rank[j] = position of box j in sorted order; one more argsort
-        # but a lane-friendly gather instead of a bool scatter.
-        rank = jnp.argsort(order, axis=1)
+        # but a lane-friendly gather instead of a bool scatter. ``order``
+        # is a unique int permutation, so the unstable int sort is exact.
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), order.shape)
+        _, rank = jax.lax.sort((order.astype(jnp.int32), iota),
+                               dimension=1, num_keys=1, is_stable=False)
         return jnp.take_along_axis(keep_sorted, rank, axis=1)
     out = jnp.zeros((bsz, n), bool)
     return jax.vmap(lambda o, idx, k: o.at[idx].set(k))(out, order, keep_sorted)

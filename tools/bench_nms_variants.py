@@ -90,6 +90,12 @@ def main():
         "lane+gatherup": lambda b, s: nk.nms_pallas_batched(
             b, s, 0.5, tile=tile, derive_sub=False, lane_gather=True,
             unpermute="gather"),
+        "intkey": lambda b, s: nk.nms_pallas_batched(
+            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=False,
+            unpermute="scatter", order_mode="intkey"),
+        "intkey+gatherup": lambda b, s: nk.nms_pallas_batched(
+            b, s, 0.5, tile=tile, derive_sub=True, lane_gather=False,
+            unpermute="gather", order_mode="intkey"),
         "kernel_only": kernel_only,
     }
 
