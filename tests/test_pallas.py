@@ -123,17 +123,25 @@ def test_fused_conv1_pool_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
-@pytest.mark.parametrize("tile,derive_sub,lane_gather,unpermute", [
-    (256, False, False, "scatter"), (512, False, False, "scatter"),
-    (256, True, False, "scatter"), (256, False, True, "scatter"),
-    (256, True, True, "scatter"), (256, False, True, "gather")])
+@pytest.mark.parametrize("tile,derive_sub,lane_gather,unpermute,order_mode", [
+    (256, False, False, "scatter", "argsort"),
+    (512, False, False, "scatter", "argsort"),
+    (256, True, False, "scatter", "argsort"),
+    (256, False, True, "scatter", "argsort"),
+    (256, True, True, "scatter", "argsort"),
+    (256, False, True, "gather", "argsort"),
+    (256, True, False, "scatter", "intkey"),
+    (256, False, True, "gather", "intkey")])
 def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather,
-                                               unpermute):
+                                               unpermute, order_mode):
     """Native multi-stream launch == independent per-stream greedy NMS.
 
     tile=512 is the bench default (the 16x4096 sweep winner); 256 covers
     the multi-tile cross-suppression path at this N. derive_sub /
-    lane_gather are the wrapper-cost variants — identical keep sets.
+    lane_gather / order_mode are the wrapper-cost variants — identical
+    keep sets. Scores include heavy ties (quantized to 8 levels) plus
+    signed zeros so the intkey two-key sort's index tie-break is actually
+    exercised against the stable-argsort oracle order.
     """
     from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
 
@@ -142,18 +150,52 @@ def test_nms_pallas_batched_matches_per_stream(tile, derive_sub, lane_gather,
     xy = rng.uniform(0, 800, (bsz, n, 2)).astype(np.float32)
     wh = rng.uniform(5, 200, (bsz, n, 2)).astype(np.float32)
     boxes = np.concatenate([xy, xy + wh], -1)
-    scores = rng.rand(bsz, n).astype(np.float32)
+    # Tie-heavy scores: 8 quantized levels -> ~75 ties per level per stream.
+    scores = np.floor(rng.rand(bsz, n) * 8).astype(np.float32) / 8.0
+    scores[0, :16] = -0.0  # signed zero vs +0.0 elsewhere in the tie pool
     keep = np.asarray(nms_pallas_batched(jnp.asarray(boxes),
                                          jnp.asarray(scores), 0.5,
                                          interpret=True, tile=tile,
                                          derive_sub=derive_sub,
                                          lane_gather=lane_gather,
-                                         unpermute=unpermute))
+                                         unpermute=unpermute,
+                                         order_mode=order_mode))
     for b in range(bsz):
         dets = np.concatenate([boxes[b], scores[b][:, None]], -1)
         want = np.zeros(n, bool)
         want[nms(dets, 0.5)] = True
         np.testing.assert_array_equal(keep[b], want)
+
+
+def test_nms_intkey_order_equals_stable_argsort_under_jit():
+    """The intkey two-key integer sort must reproduce jnp.argsort(-s,
+    stable=True) EXACTLY, including signed-zero ties, -inf invalid
+    entries, and subnormals — and it must do so UNDER JIT, where XLA
+    elides float-side -0.0 folds (the round-3 advisor bug: a jitted
+    `s + 0.0` kept -0.0's distinct bit pattern alive in the key)."""
+    from aznet_tpu.ops.pallas.nms_kernel import _descending_order
+
+    rng = np.random.RandomState(3)
+    tricky = np.array([-0.0, 0.0, -0.0, 0.0, 1.0, -1.0, -np.inf, np.inf,
+                       1e-40, -1e-40, 0.5, 0.5, -0.0], np.float32)
+    rows = [tricky,
+            np.floor(rng.rand(13) * 4).astype(np.float32) - 2.0,
+            np.full(13, -np.inf, np.float32),
+            np.concatenate([np.full(6, 0.25, np.float32),
+                            np.array([-0.0] * 4 + [0.0] * 3, np.float32)])]
+    s = jnp.asarray(np.stack(rows))
+    for fn in (_descending_order, jax.jit(_descending_order,
+                                          static_argnums=1)):
+        got = np.asarray(fn(s, "intkey"))
+        want = np.asarray(fn(s, "argsort"))
+        np.testing.assert_array_equal(got, want)
+    # float64 falls back to the stable argsort (keys at f32 width would
+    # merge sub-f32-precision distinctions).
+    if jax.config.jax_enable_x64:  # pragma: no cover - x64 off in CI
+        s64 = s.astype(jnp.float64)
+        np.testing.assert_array_equal(
+            np.asarray(_descending_order(s64, "intkey")),
+            np.asarray(_descending_order(s64, "argsort")))
 
 
 def test_conv3x3_int8_pallas_exact_and_vmap():

@@ -58,6 +58,34 @@ def check_nms():
             "oracle": src}
 
 
+def check_nms_intkey():
+    """order_mode='intkey' (the two-key integer sort the bench uses) must
+    give the SAME keep set as the stable-argsort path on hardware, on
+    tie-heavy scores including signed zeros — the round-3 advisor found
+    the float-side -0.0 fold silently elided under jit; this pins the
+    integer-side fix on the real compiler."""
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
+
+    rng = np.random.RandomState(23)
+    bsz, n = 4, 1024
+    xy = rng.uniform(0, 1200, (bsz, n, 2)).astype(np.float32)
+    wh = rng.uniform(5, 250, (bsz, n, 2)).astype(np.float32)
+    boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+    scores_np = np.floor(rng.rand(bsz, n) * 16).astype(np.float32) / 16.0
+    scores_np[0, :32] = -0.0
+    scores = jnp.asarray(scores_np)
+    run = jax.jit(lambda b, s, m: nms_pallas_batched(b, s, 0.5, order_mode=m),
+                  static_argnums=2)
+    got = np.asarray(run(boxes, scores, "intkey"))
+    ref = np.asarray(run(boxes, scores, "argsort"))
+    mismatch = int((got != ref).sum())
+    return {"ok": mismatch == 0, "mismatch": mismatch,
+            "kept": int(got.sum())}
+
+
 def check_iou():
     import jax
     import jax.numpy as jnp
@@ -242,6 +270,7 @@ def check_search():
 
 CHECKS = {
     "nms_pallas_vs_greedy_oracle": check_nms,
+    "nms_intkey_vs_argsort_order": check_nms_intkey,
     "iou_pallas_vs_jnp": check_iou,
     "roi_align_pallas_vs_xla": check_roi_align,
     "int8_conv_vs_f32_exact": check_int8_conv,
