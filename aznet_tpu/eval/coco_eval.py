@@ -31,6 +31,8 @@ from typing import Dict, List, Sequence
 
 import numpy as np
 
+from aznet_tpu.utils import native
+
 IOU_THRS = np.round(np.arange(0.5, 1.0, 0.05), 2)  # .5 ... .95
 REC_THRS = np.linspace(0.0, 1.0, 101)
 AREA_RANGES = {
@@ -59,19 +61,10 @@ def _iou_matrix(dets: np.ndarray, gts: np.ndarray, crowd: np.ndarray,
     return np.where(union > 0, inter / np.maximum(union, 1e-12), 0.0)
 
 
-def _match_image(ious, gt_ignore, crowd, iou_thrs):
-    """pycocotools ``evaluateImg`` for one (class, image, area-range).
-
-    ious: [D, G] with detections score-sorted desc and gts sorted
-    ignored-last (the same ordering as ``gt_ignore``/``crowd``). Returns
-    (dt_match [T, D] bool, dt_ignore [T, D] bool) per IoU threshold.
-
-    Semantics mirrored from pycocotools: a taken non-crowd gt is skipped
-    (crowds stay matchable forever); a detection prefers the best-IoU
-    non-ignored gt, falling back to ignored gts only when no non-ignored
-    one clears the threshold; score ties resolve to the LAST qualifying gt
-    in scan order (pycocotools updates on ``iou >= best``).
-    """
+def _match_image_ref(ious, gt_ignore, crowd, iou_thrs):
+    """Readable sequential transcription of pycocotools ``evaluateImg``;
+    the oracle for :func:`_match_image` (tests/test_coco_match_*). Same
+    contract as ``_match_image``."""
     n_t = len(iou_thrs)
     n_d, n_g = ious.shape
     dtm = np.zeros((n_t, n_d), bool)
@@ -100,6 +93,114 @@ def _match_image(ious, gt_ignore, crowd, iou_thrs):
                 gtaken[best] = True
                 dtm[ti, d] = True
                 dtig[ti, d] = gt_ignore[best]
+    return dtm, dtig
+
+
+def _match_image(ious, gt_ignore, crowd, iou_thrs):
+    """pycocotools ``evaluateImg`` for one (class, image, area-range).
+
+    ious: [D, G] with detections score-sorted desc and gts sorted
+    ignored-last (the same ordering as ``gt_ignore``/``crowd``). Returns
+    (dt_match [T, D] bool, dt_ignore [T, D] bool) per IoU threshold.
+
+    Semantics mirrored from pycocotools: a taken non-crowd gt is skipped
+    (crowds stay matchable forever); a detection prefers the best-IoU
+    non-ignored gt, falling back to ignored gts only when no non-ignored
+    one clears the threshold; score ties resolve to the LAST qualifying gt
+    in scan order (pycocotools updates on ``iou >= best``).
+
+    Dispatches to the C++ host matcher (csrc/aznet_host.cc::az_coco_match,
+    the same tier the host NMS/IoU use) when built — the sequential T x D
+    x G loop is ~100x the Python transcription there. The NumPy fallback
+    (:func:`_match_image_np`) vectorizes instead.
+    """
+    n_t = len(iou_thrs)
+    n_d, n_g = ious.shape
+    if n_d == 0 or n_g == 0:
+        return (np.zeros((n_t, n_d), bool), np.zeros((n_t, n_d), bool))
+    thrs = np.minimum(np.asarray(iou_thrs, np.float64), 1.0 - 1e-10)  # [T]
+    if native.coco_match_available():
+        return native.coco_match(ious, gt_ignore, crowd, thrs)
+    return _match_image_np(ious, gt_ignore, crowd, thrs)
+
+
+def _match_image_np(ious, gt_ignore, crowd, thrs):
+    """Vectorized NumPy matcher (contract of :func:`_match_image`; ``thrs``
+    pre-clamped).
+
+    Greedy matching is sequential over detections only where two of them
+    want the SAME gt — a detection's preference is stable while its chosen
+    gt remains available (removing other gts cannot change its argmax), so
+    the maximal prefix of not-yet-resolved detections with pairwise-
+    distinct non-crowd preferences finalizes in one shot. This runs
+    "auction" rounds, each fully vectorized over the T=10 thresholds AND
+    all detections ([T, D, G] tensor ops): compute every unresolved
+    detection's preferred gt, finalize per threshold up to the first
+    preference conflict, repeat. Detections whose best IoU over ALL gts
+    clears no threshold prune upfront (they can never match; at real-COCO
+    scale most false positives die here). Conflicts are rare after NMS, so
+    rounds ~ O(few); outputs are identical to the sequential oracle
+    (:func:`_match_image_ref`; tests/test_coco_match_differential.py).
+    """
+    n_t = len(thrs)
+    n_d, n_g = ious.shape
+    dtm = np.zeros((n_t, n_d), bool)
+    dtig = np.zeros((n_t, n_d), bool)
+    # Prune detections that cannot match at the loosest threshold.
+    live = np.flatnonzero(ious.max(axis=1) >= thrs.min())
+    if live.size == 0:
+        return dtm, dtig
+    iou_l = ious[live][None, :, :]  # [1, Dl, G]
+    n_l = live.size
+    not_ig = (~gt_ignore)[None, None, :]
+    ig = gt_ignore[None, None, :]
+    thrs_c = thrs[:, None]  # [T, 1]
+
+    gtaken = np.zeros((n_t, n_g), bool)
+    # ptr[t]: live detections before this index are finalized for t.
+    ptr = np.zeros(n_t, dtype=int)
+    d_iota = np.arange(n_l)
+    while (ptr < n_l).any():
+        avail = (~gtaken | crowd[None, :])[:, None, :]  # [T, 1, G]
+        # Stage 1: best available non-ignored gt; ties keep the LAST gt
+        # (pycocotools updates its running best on >=).
+        cand = np.where(avail & not_ig, iou_l, -1.0)  # [T, Dl, G]
+        best = cand.max(axis=2)
+        ok = best >= thrs_c
+        pref = n_g - 1 - np.argmax(cand[:, :, ::-1] == best[..., None],
+                                   axis=2)
+        # Stage 2: ignored-gt fallback where stage 1 found nothing.
+        cand2 = np.where(avail & ig, iou_l, -1.0)
+        best2 = cand2.max(axis=2)
+        ok2 = ~ok & (best2 >= thrs_c)
+        pref2 = n_g - 1 - np.argmax(cand2[:, :, ::-1] == best2[..., None],
+                                    axis=2)
+        pref = np.where(ok2, pref2, pref)
+        matched = ok | ok2  # [T, Dl]
+
+        # Finalize, per threshold, the maximal unresolved prefix whose
+        # matched NON-CROWD preferences are pairwise distinct (crowds
+        # absorb unlimited detections — never a conflict). The first
+        # unresolved detection always finalizes, so every round advances.
+        unres = d_iota[None, :] >= ptr[:, None]  # [T, Dl]
+        contested = matched & unres & ~crowd[pref]
+        # dup[t, d] = some earlier contested det in this round wants the
+        # same gt. [T, Dl, Dl] compare; Dl is <= a few hundred post-NMS.
+        same = (pref[:, :, None] == pref[:, None, :])  # [T, d, e]
+        earlier = d_iota[None, :] < d_iota[:, None]  # [d, e] e < d
+        dup = (same & earlier[None] & contested[:, None, :]
+               & contested[:, :, None]).any(axis=2)  # [T, Dl]
+        blocked = dup & unres
+        stop = np.where(blocked.any(axis=1),
+                        blocked.argmax(axis=1), n_l)  # [T] first conflict
+        final = unres & (d_iota[None, :] < stop[:, None])  # [T, Dl]
+        take = final & matched
+        t_idx, d_idx = np.nonzero(take)
+        g_idx = pref[t_idx, d_idx]
+        gtaken[t_idx, g_idx] = True
+        dtm[t_idx, live[d_idx]] = True
+        dtig[t_idx, live[d_idx]] = gt_ignore[g_idx]
+        ptr = stop
     return dtm, dtig
 
 

@@ -47,6 +47,14 @@ def _lib() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_float), ctypes.c_int, ctypes.c_int,
         ctypes.c_float, ctypes.POINTER(ctypes.c_float),
     ]
+    if hasattr(lib, "az_coco_match"):  # absent in stale pre-round-4 builds
+        lib.az_coco_match.restype = None
+        lib.az_coco_match.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int,
+            ctypes.POINTER(ctypes.c_ubyte), ctypes.POINTER(ctypes.c_ubyte),
+        ]
     _LIB = lib
     return _LIB
 
@@ -83,6 +91,35 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray,
     lib.az_bbox_overlaps(_fptr(boxes), boxes.shape[0], _fptr(query),
                          query.shape[0], float(offset), _fptr(out))
     return out
+
+
+def coco_match_available() -> bool:
+    lib = _lib()
+    return lib is not None and hasattr(lib, "az_coco_match")
+
+
+def coco_match(ious: np.ndarray, gt_ignore: np.ndarray, crowd: np.ndarray,
+               thrs: np.ndarray):
+    """C++ COCO greedy matcher; contract of eval.coco_eval._match_image.
+
+    ``thrs`` must already be clamped (min(t, 1-1e-10)) by the caller.
+    """
+    lib = _lib()
+    assert lib is not None and hasattr(lib, "az_coco_match"), \
+        "libaznet_host.so missing az_coco_match (make -C csrc)"
+    n_d, n_g = ious.shape
+    n_t = len(thrs)
+    ious = np.ascontiguousarray(ious, np.float64)
+    thrs = np.ascontiguousarray(thrs, np.float64)
+    gi = np.ascontiguousarray(gt_ignore, np.uint8)
+    cr = np.ascontiguousarray(crowd, np.uint8)
+    dtm = np.empty((n_t, n_d), np.uint8)
+    dtig = np.empty((n_t, n_d), np.uint8)
+    u8p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_ubyte))  # noqa: E731
+    f64p = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    lib.az_coco_match(f64p(ious), n_d, n_g, u8p(gi), u8p(cr), f64p(thrs),
+                      n_t, u8p(dtm), u8p(dtig))
+    return dtm.astype(bool), dtig.astype(bool)
 
 
 def prep_blob(im: np.ndarray, out_h: int, out_w: int, scale: float,

@@ -137,4 +137,50 @@ void az_prep_blob(const uint8_t* src, int h, int w, float* dst, int oh,
   }
 }
 
+// COCO-protocol greedy per-image matching (pycocotools evaluateImg inner
+// loop; see aznet_tpu/eval/coco_eval.py::_match_image for the contract).
+// ious[n_d][n_g] (detections score-desc, gts ignored-last), gt_ignore /
+// crowd are n_g flags, thrs[n_t] IoU thresholds (already clamped by the
+// caller). Outputs dtm/dtig are [n_t][n_d] 0/1 flags.
+//
+// Semantics: a taken non-crowd gt is skipped (crowds stay matchable); a
+// detection takes the best-IoU available non-ignored gt >= thr, falling
+// back to ignored gts only when no non-ignored one qualifies; ties keep
+// the LAST qualifying gt in scan order (pycocotools updates on >=).
+void az_coco_match(const double* ious, int n_d, int n_g,
+                   const uint8_t* gt_ignore, const uint8_t* crowd,
+                   const double* thrs, int n_t, uint8_t* dtm,
+                   uint8_t* dtig) {
+  std::memset(dtm, 0, (size_t)n_t * n_d);
+  std::memset(dtig, 0, (size_t)n_t * n_d);
+  if (n_d <= 0 || n_g <= 0) return;
+  std::vector<char> gtaken(n_g);
+  for (int t = 0; t < n_t; ++t) {
+    const double thr = thrs[t];
+    std::fill(gtaken.begin(), gtaken.end(), 0);
+    for (int d = 0; d < n_d; ++d) {
+      const double* row = ious + (size_t)d * n_g;
+      int m = -1;
+      double best = thr;
+      // Stage 1: non-ignored gts (>= keeps the last tied gt).
+      for (int g = 0; g < n_g; ++g) {
+        if (gt_ignore[g] || (gtaken[g] && !crowd[g])) continue;
+        if (row[g] >= best) { best = row[g]; m = g; }
+      }
+      if (m < 0) {  // Stage 2: ignored fallback.
+        best = thr;
+        for (int g = 0; g < n_g; ++g) {
+          if (!gt_ignore[g] || (gtaken[g] && !crowd[g])) continue;
+          if (row[g] >= best) { best = row[g]; m = g; }
+        }
+      }
+      if (m >= 0) {
+        gtaken[m] = 1;
+        dtm[(size_t)t * n_d + d] = 1;
+        dtig[(size_t)t * n_d + d] = gt_ignore[m];
+      }
+    }
+  }
+}
+
 }  // extern "C"

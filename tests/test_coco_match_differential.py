@@ -75,12 +75,30 @@ def _random_case(rng):
     return ious[:, order], gt_ignore[order], crowd[order]
 
 
+def _impls():
+    """Every matcher implementation: the dispatching entry (C++ when the
+    host lib is built — conftest builds it), the vectorized NumPy
+    fallback, and the sequential in-module oracle."""
+    from aznet_tpu.eval.coco_eval import _match_image_np, _match_image_ref
+
+    clamp = lambda t: np.minimum(np.asarray(t, np.float64), 1 - 1e-10)  # noqa: E731
+    return [
+        ("dispatch", _match_image),
+        ("numpy", lambda i, g, c, t: _match_image_np(i, g, c, clamp(t))),
+        ("seq", _match_image_ref),
+    ]
+
+
 @pytest.mark.parametrize("seed", range(5))
-def test_match_image_equals_pycocotools_transcription(seed):
+@pytest.mark.parametrize("impl", [i[0] for i in _impls()])
+def test_match_image_equals_pycocotools_transcription(seed, impl):
+    fn = dict(_impls())[impl]
     rng = np.random.default_rng(seed)
     for trial in range(100):
         ious, gt_ignore, crowd = _random_case(rng)
-        got_m, got_ig = _match_image(ious, gt_ignore, crowd, IOU_THRS)
+        if ious.shape[0] == 0 or ious.shape[1] == 0:
+            continue  # _match_image_np/ref assume the dispatch's 0-guard
+        got_m, got_ig = fn(ious, gt_ignore, crowd, IOU_THRS)
         ref_m, ref_ig = _evaluate_img_reference(ious, gt_ignore, crowd,
                                                 IOU_THRS)
         np.testing.assert_array_equal(
@@ -91,6 +109,31 @@ def test_match_image_equals_pycocotools_transcription(seed):
             got_ig, ref_ig,
             err_msg=f"dt_ignore diverged (seed={seed} trial={trial})\n"
                     f"ious=\n{ious}\ngt_ignore={gt_ignore}\ncrowd={crowd}")
+
+
+@pytest.mark.parametrize("impl", ["dispatch", "numpy"])
+def test_match_image_fast_equals_sequential_at_scale(impl):
+    """The C++ and T/D-vectorized matchers == the sequential in-module
+    oracle at real-COCO per-image sizes (D~100, G~40), where the
+    no-hope-detection prune and the conflict-prefix rounds actually fire."""
+    from aznet_tpu.eval.coco_eval import _match_image_ref
+
+    fn = dict(_impls())[impl]
+    rng = np.random.default_rng(7)
+    for trial in range(20):
+        n_d = int(rng.integers(1, 101))
+        n_g = int(rng.integers(1, 41))
+        ious = rng.choice(
+            [0.0, 0.0, 0.0, 0.3, 0.5, 0.55, 0.7, 0.75, 0.9, 0.95, 1.0],
+            size=(n_d, n_g))
+        crowd = rng.random(n_g) < 0.2
+        gt_ignore = crowd | (rng.random(n_g) < 0.3)
+        order = np.argsort(gt_ignore, kind="stable")
+        ious, gt_ignore, crowd = ious[:, order], gt_ignore[order], crowd[order]
+        got = fn(ious, gt_ignore, crowd, IOU_THRS)
+        ref = _match_image_ref(ious, gt_ignore, crowd, IOU_THRS)
+        np.testing.assert_array_equal(got[0], ref[0], err_msg=f"t{trial}")
+        np.testing.assert_array_equal(got[1], ref[1], err_msg=f"t{trial}")
 
 
 def test_match_image_crowd_absorbs_many():
