@@ -230,6 +230,39 @@ def check_int8_chain():
     return {"ok": err == 0.0, "max_err": err}
 
 
+def check_int8_resnet():
+    """Calibrated int8 ResNet-50 trunk (bottleneck 1x1 GEMMs,
+    models/resnet.py) vs the bf16 trunk on hardware — the BASELINE
+    config-5 int8 path. Int8 is lossy by design, so the bar is the same
+    cosine/energy bound the CPU test uses
+    (tests/test_int8_resnet.py::test_resnet_int8_trunk_matches_f32_features);
+    a Mosaic/XLA int8-GEMM regression would blow straight through it."""
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.api import build_az_net
+    from aznet_tpu.config import Config, cfg_from_dict
+    from aznet_tpu.ops.quant import (calibrate_trunk_int8_resnet,
+                                     with_int8_scales)
+
+    cfg = cfg_from_dict(Config(), {
+        "MODEL": {"BACKBONE": "resnet50", "FC_DIM": 64, "NUM_TEMPLATES": 5,
+                  "DROPOUT": 0.0}})
+    net = build_az_net(cfg)
+    rng = np.random.RandomState(19)
+    images = rng.uniform(-120, 120, (2, 128, 128, 3)).astype(np.float32)
+    scales = calibrate_trunk_int8_resnet(net, images, batch_size=2)
+    net8 = build_az_net(with_int8_scales(cfg, scales), params=net.params)
+    feats = jax.jit(lambda p, x: net.model.apply(p, x, method="features"))
+    feats8 = jax.jit(lambda p, x: net8.model.apply(p, x, method="features"))
+    ref = np.asarray(feats(net.params, jnp.asarray(images)), np.float32)
+    out = np.asarray(feats8(net8.params, jnp.asarray(images)), np.float32)
+    cos = float((out * ref).sum()
+                / max(np.linalg.norm(out) * np.linalg.norm(ref), 1e-9))
+    rel = float(np.abs(out - ref).mean() / max(np.abs(ref).mean(), 1e-9))
+    return {"ok": cos > 0.98 and rel < 0.2, "cosine": cos, "mean_rel": rel}
+
+
 def check_search():
     import jax
     import jax.numpy as jnp
@@ -276,6 +309,7 @@ CHECKS = {
     "int8_conv_vs_f32_exact": check_int8_conv,
     "int8_conv_pallas_strip_vs_f32_exact": check_int8_conv_pallas,
     "int8_chain_vs_strip_exact": check_int8_chain,
+    "int8_resnet_trunk_vs_bf16": check_int8_resnet,
     "az_search_device_vs_oracle": check_search,
 }
 
