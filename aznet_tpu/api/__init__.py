@@ -235,6 +235,20 @@ def share_trunk(dst_net: Net, src_net: Net) -> Net:
 # ---------------------------------------------------------------------------
 
 
+def select_class_boxes(scores, pred):
+    """Per-roi argmax-class decoded box: ``scores [R, C]``, ``pred
+    [R, 4C]`` -> ``[R, 4]``.
+
+    Background (class 0) is excluded — its regressor is never trained with
+    box targets, so its deltas are noise; a background-dominated roi keeps
+    its best FOREGROUND hypothesis for the next regression pass / proposal
+    refinement."""
+    cls = jnp.argmax(scores[:, 1:], axis=1) + 1  # [R]
+    r = pred.shape[0]
+    pred4 = pred.reshape(r, -1, 4)
+    return jnp.take_along_axis(pred4, cls[:, None, None], axis=1)[:, 0]
+
+
 def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw,
                  src_hw=None, scale=None):
     """Raw image + proposal boxes (original coords) -> (scores, pred_boxes).
@@ -249,19 +263,25 @@ def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw,
         src_hw=src_hw, scale=scale,
     )
     feat = model.apply(params, blob[None], method="features")[0]
-    # Project rois to the scaled image (reference _project_im_rois).
-    rois = boxes * im_scale
-    out = model.apply(params, feat, rois, method="roi_forward")
-    scores = jax.nn.softmax(out["cls_score"], axis=-1)
-    # Decode against ORIGINAL-coordinate boxes, as the reference does.
-    pred = bbox_transform_inv(boxes, out["bbox_pred"], cfg.BOX_OFFSET)
     if src_hw is None:
         h0 = jnp.asarray(image.shape[0], jnp.float32)
         w0 = jnp.asarray(image.shape[1], jnp.float32)
     else:
         h0 = jnp.asarray(src_hw[0], jnp.float32)
         w0 = jnp.asarray(src_hw[1], jnp.float32)
-    pred = clip_boxes(pred, (h0, w0), cfg.BOX_OFFSET)
+    # Iterative bbox regression (TEST.BBOX_ITER; 1 = the reference's single
+    # decode): re-pool each roi at its argmax-class decoded box and
+    # re-regress. The loop is unrolled under jit (static trip count).
+    cur = boxes
+    for it in range(max(int(cfg.TEST.BBOX_ITER), 1)):
+        # Project rois to the scaled image (reference _project_im_rois).
+        out = model.apply(params, feat, cur * im_scale, method="roi_forward")
+        scores = jax.nn.softmax(out["cls_score"], axis=-1)
+        # Decode against ORIGINAL-coordinate boxes, as the reference does.
+        pred = bbox_transform_inv(cur, out["bbox_pred"], cfg.BOX_OFFSET)
+        pred = clip_boxes(pred, (h0, w0), cfg.BOX_OFFSET)
+        if it + 1 < max(int(cfg.TEST.BBOX_ITER), 1):
+            cur = select_class_boxes(scores, pred)
     return scores, pred
 
 
@@ -429,12 +449,18 @@ def make_fused_detect_batch_padded(az_model, frcnn_model, cfg_az: Config,
             )
             # boxes are scaled-image coords == the FRCNN rois directly.
             fr_p = _cast_inference_params(fr_params, cfg_fr)
-            out = frcnn_model.apply(fr_p, feat, boxes, method="roi_forward")
-            det_scores = jax.nn.softmax(out["cls_score"], axis=-1)
             orig = boxes / im_scale
-            pred = bbox_transform_inv(orig, out["bbox_pred"],
-                                      cfg_fr.BOX_OFFSET)
-            pred = clip_boxes(pred, (hw[0], hw[1]), cfg_fr.BOX_OFFSET)
+            n_iter = max(int(cfg_fr.TEST.BBOX_ITER), 1)
+            cur = boxes  # scaled-image coords
+            for it in range(n_iter):  # iterative regression, as _detect_core
+                out = frcnn_model.apply(fr_p, feat, cur,
+                                        method="roi_forward")
+                det_scores = jax.nn.softmax(out["cls_score"], axis=-1)
+                pred = bbox_transform_inv(cur / im_scale, out["bbox_pred"],
+                                          cfg_fr.BOX_OFFSET)
+                pred = clip_boxes(pred, (hw[0], hw[1]), cfg_fr.BOX_OFFSET)
+                if it + 1 < n_iter:
+                    cur = select_class_boxes(det_scores, pred) * im_scale
             return orig, p_scores, valid, det_scores, pred
 
         return jax.vmap(one)(images, src_hw, scales)

@@ -34,6 +34,10 @@ def parse_args():
                    help="calibrate + run the int8 GEMM trunk (vgg16 only)")
     p.add_argument("--calib-images", type=int, default=8,
                    help="imdb images used for int8 activation calibration")
+    p.add_argument("--refine", action="store_true",
+                   help="recall mode: second decode pass — re-regress each "
+                        "proposal through the FRCNN bbox head (--frcnn-ckpt) "
+                        "before the recall table (high-IoU recall lever)")
     p.add_argument("--share-trunk", action="store_true",
                    help="detect mode: copy the AZ trunk into the FRCNN net "
                         "(api.share_trunk); with --batched, detect auto-"
@@ -94,9 +98,16 @@ def main():
     if args.mode == "recall":
         from aznet_tpu.eval.detection import evaluate_recall
 
+        refine_net = None
+        if args.refine:
+            if not args.frcnn_ckpt:
+                raise SystemExit("--refine needs --frcnn-ckpt (the bbox "
+                                 "head doing the second decode pass)")
+            refine_net = _load_net(build_frcnn_net, cfg, args.frcnn_ckpt)
         table = evaluate_recall(az_net, imdb, max_images=args.max_images,
                                 batched=args.batched,
-                                batch_size=args.batch_size)
+                                batch_size=args.batch_size,
+                                refine_net=refine_net)
         print(json.dumps({str(k): {str(t): round(v, 4) for t, v in row.items()}
                           for k, row in table.items()}, indent=2))
     else:
@@ -128,12 +139,18 @@ def main():
                 aps = imdb.evaluate_detections(all_boxes, args.output)
             except NotImplementedError:
                 aps = None
-        if aps is None:
-            sub = [cls_dets[:n] for cls_dets in all_boxes]
-            roidb = imdb.roidb[:n]
-            from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
+        sub = [cls_dets[:n] for cls_dets in all_boxes]
+        roidb = imdb.roidb[:n]
+        from aznet_tpu.eval.voc_eval import eval_detections_on_roidb
 
+        if aps is None:
             aps = eval_detections_on_roidb(sub, roidb, imdb.num_classes)
+        # Localization quality beyond the VOC .5 protocol (round-4 high-IoU
+        # reporting): the same matcher at IoU .7.
+        aps70 = eval_detections_on_roidb(sub, roidb, imdb.num_classes,
+                                         ovthresh=0.7)
+        aps = dict(aps)
+        aps.update({f"{k}@0.7": v for k, v in aps70.items()})
         print(json.dumps({k: round(float(v), 4) for k, v in aps.items()}, indent=2))
 
 
