@@ -93,7 +93,7 @@ def _pallas_profitable(n: int) -> bool:
 
 
 def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
-             impl: str = "auto"):
+             impl: str = "auto", order_mode: str = None):
     """Exact greedy-NMS keep mask, in the ORIGINAL box order.
 
     ``boxes [N, 4]``, ``scores [N]``, optional ``valid [N]`` bool mask for
@@ -101,6 +101,10 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
 
     ``impl``: 'auto' (Pallas kernel on TPU for N >= 512, else the fixpoint),
     'fixpoint', or 'pallas'. Both are exact greedy (tested equal).
+    ``order_mode`` (pallas impl): 'argsort' | 'intkey' — how the kernel
+    wrapper derives the score-descending permutation (identical keep sets;
+    the argsort is ~2/3 of the wrapper cost at serving shapes, DESIGN
+    finding 20). Default: env ``AZNET_NMS_ORDER`` or 'argsort'.
 
     Fixpoint algorithm: sort by score desc; build the strict-lower-triangular
     suppression matrix ``S[i, j] = (j < i) & (IoU > t)``; iterate the
@@ -113,10 +117,14 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
     if impl == "auto":
         impl = "pallas" if _pallas_profitable(n) else "fixpoint"
     if impl == "pallas":
+        import os
+
         from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
 
+        if order_mode is None:
+            order_mode = os.environ.get("AZNET_NMS_ORDER", "argsort")
         return nms_pallas(boxes, scores, iou_threshold, valid=valid,
-                          offset=offset)
+                          offset=offset, order_mode=order_mode)
     if valid is None:
         valid = jnp.ones((n,), dtype=bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)

@@ -248,7 +248,7 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
 
 
 def nms_pallas(boxes, scores, thresh, valid=None, offset: float = 1.0,
-               interpret: bool = False):
+               interpret: bool = False, order_mode: str = "argsort"):
     """Exact greedy-NMS keep mask in ORIGINAL order (Pallas TPU kernel).
 
     Same semantics as :func:`aznet_tpu.ops.nms.nms_mask`. ``interpret=True``
@@ -257,5 +257,5 @@ def nms_pallas(boxes, scores, thresh, valid=None, offset: float = 1.0,
     return nms_pallas_batched(
         boxes[None], scores[None], thresh,
         valid=None if valid is None else valid[None],
-        offset=offset, interpret=interpret,
+        offset=offset, interpret=interpret, order_mode=order_mode,
     )[0]
