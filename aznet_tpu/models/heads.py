@@ -77,6 +77,17 @@ class _FCStack(nn.Module):
         return int8_dense(h8, s_mid, "fc7", None)
 
 
+def _fused_heads(params, x, names):
+    """One f32 dot against the column-concatenated kernels of ``names``."""
+    w = jnp.concatenate(
+        [params[n]["kernel"].astype(jnp.float32) for n in names], axis=1)
+    b = jnp.concatenate(
+        [params[n]["bias"].astype(jnp.float32) for n in names])
+    return jax.lax.dot_general(
+        x.astype(jnp.float32), w,
+        dimension_numbers=(((x.ndim - 1,), (0,)), ((), ()))) + b
+
+
 class AZHead(nn.Module):
     """[R, P, P, C] roi features -> zoom/adjacency logits and deltas.
 
@@ -96,12 +107,24 @@ class AZHead(nn.Module):
         k = self.num_templates
         x = _FCStack(self.fc_dim, self.fc7_dim, self.dropout, self.dtype,
                      self.int8_scales, name="fc")(roi_feats, train)
-        zoom = nn.Dense(1, dtype=jnp.float32, name="zoom_score",
-                        kernel_init=nn.initializers.normal(0.01))(x)
-        adj = nn.Dense(k, dtype=jnp.float32, name="adj_score",
-                       kernel_init=nn.initializers.normal(0.01))(x)
-        delta = nn.Dense(4 * k, dtype=jnp.float32, name="adj_bbox",
-                         kernel_init=nn.initializers.normal(0.001))(x)
+        if self.is_initializing() or train:
+            zoom = nn.Dense(1, dtype=jnp.float32, name="zoom_score",
+                            kernel_init=nn.initializers.normal(0.01))(x)
+            adj = nn.Dense(k, dtype=jnp.float32, name="adj_score",
+                           kernel_init=nn.initializers.normal(0.01))(x)
+            delta = nn.Dense(4 * k, dtype=jnp.float32, name="adj_bbox",
+                             kernel_init=nn.initializers.normal(0.001))(x)
+        else:
+            # Inference fast path: ONE [fc7, 1+5K] dot instead of three
+            # separate tiny-N f32 dots — XLA does not merge sibling dots,
+            # and these run EVERY search level inside the while_loop. The
+            # concat of loop-invariant params is hoisted by XLA; per-column
+            # math is identical to the separate Dense calls.
+            y = _fused_heads(self.variables["params"], x,
+                             ("zoom_score", "adj_score", "adj_bbox"))
+            zoom = y[..., 0:1]
+            adj = y[..., 1 : 1 + k]
+            delta = y[..., 1 + k :]
         return {
             "zoom": zoom[..., 0].astype(jnp.float32),
             "adj_score": adj.astype(jnp.float32),
@@ -123,8 +146,14 @@ class FRCNNHead(nn.Module):
     def __call__(self, roi_feats, train: bool = False):
         x = _FCStack(self.fc_dim, self.fc7_dim, self.dropout, self.dtype,
                      self.int8_scales, name="fc")(roi_feats, train)
-        cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls_score",
-                       kernel_init=nn.initializers.normal(0.01))(x)
-        bbox = nn.Dense(4 * self.num_classes, dtype=jnp.float32, name="bbox_pred",
-                        kernel_init=nn.initializers.normal(0.001))(x)
+        if self.is_initializing() or train:
+            cls = nn.Dense(self.num_classes, dtype=jnp.float32, name="cls_score",
+                           kernel_init=nn.initializers.normal(0.01))(x)
+            bbox = nn.Dense(4 * self.num_classes, dtype=jnp.float32, name="bbox_pred",
+                            kernel_init=nn.initializers.normal(0.001))(x)
+        else:
+            y = _fused_heads(self.variables["params"], x,
+                             ("cls_score", "bbox_pred"))
+            cls = y[..., : self.num_classes]
+            bbox = y[..., self.num_classes :]
         return {"cls_score": cls.astype(jnp.float32), "bbox_pred": bbox.astype(jnp.float32)}

@@ -47,6 +47,48 @@ def test_frcnn_shapes():
     assert out["bbox_pred"].shape == (3, 16)
 
 
+def test_fused_inference_heads_match_separate_dense():
+    """The eval-time fused [fc7, sum-of-heads] dot == the separate Dense
+    projections computed by hand from the same params (AZ and FRCNN)."""
+    rng = np.random.RandomState(3)
+    images = jnp.asarray(rng.uniform(-1, 1, (1, 64, 64, 3)).astype(np.float32))
+    rois = jnp.asarray(rng.uniform(0, 40, (4, 4)).astype(np.float32))
+    rois = rois.at[:, 2:].add(20.0)
+
+    az = AZNet(model_cfg=SMALL)
+    p = az.init(jax.random.PRNGKey(1), images, rois)
+    feat = az.apply(p, images, method="features")[0]
+    out = az.apply(p, feat, rois, method="roi_forward")  # train=False: fused
+    pooled = az.apply(p, feat, rois, method="roi_pool_only")
+    x = pooled.reshape(pooled.shape[0], -1)
+    hp = p["params"]["head"]
+    for name in ("fc6", "fc7"):
+        x = jnp.maximum(
+            x @ hp["fc"][name]["kernel"] + hp["fc"][name]["bias"], 0.0)
+    for head, key, reshape in (("zoom_score", "zoom", lambda y: y[:, 0]),
+                               ("adj_score", "adj_score", lambda y: y),
+                               ("adj_bbox", "adj_delta",
+                                lambda y: y.reshape(y.shape[0], -1, 4))):
+        want = reshape(x @ hp[head]["kernel"] + hp[head]["bias"])
+        np.testing.assert_allclose(np.asarray(out[key]), np.asarray(want),
+                                   atol=1e-4, err_msg=head)
+
+    fr = FRCNN(model_cfg=SMALL)
+    pf = fr.init(jax.random.PRNGKey(2), images, rois)
+    featf = fr.apply(pf, images, method="features")[0]
+    outf = fr.apply(pf, featf, rois, method="roi_forward")
+    pooledf = fr.apply(pf, featf, rois, method="roi_pool_only")
+    xf = pooledf.reshape(pooledf.shape[0], -1)
+    hpf = pf["params"]["head"]
+    for name in ("fc6", "fc7"):
+        xf = jnp.maximum(
+            xf @ hpf["fc"][name]["kernel"] + hpf["fc"][name]["bias"], 0.0)
+    for head, key in (("cls_score", "cls_score"), ("bbox_pred", "bbox_pred")):
+        want = xf @ hpf[head]["kernel"] + hpf[head]["bias"]
+        np.testing.assert_allclose(np.asarray(outf[key]), np.asarray(want),
+                                   atol=1e-4, err_msg=head)
+
+
 def test_dropout_train_mode_stochastic():
     model = AZNet(model_cfg=SMALL.__class__(**{**SMALL.__dict__, "DROPOUT": 0.9}))
     params, images, rois = _init(model)
