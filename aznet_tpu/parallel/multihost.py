@@ -23,6 +23,7 @@ Usage:
 from __future__ import annotations
 
 import os
+import re
 import socket
 import subprocess
 import sys
@@ -34,19 +35,37 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
+def force_device_count_flags(existing: str, n: int) -> str:
+    """XLA_FLAGS with exactly one ``--xla_force_host_platform_device_count``.
+
+    Appending a second copy does NOT override — XLA keeps the first — so a
+    parent that already forces a count (the test conftest forces 8) would
+    silently give every worker 8 devices instead of ``n``. Strip any
+    existing instance first.
+    """
+    cleaned = re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+                     existing or "")
+    return (cleaned + f" --xla_force_host_platform_device_count={n}").strip()
+
+
 def run_multihost_dryrun(num_processes: int = 2, devices_per_proc: int = 4,
                          timeout: int = 900) -> str:
     """Spawn the workers, wait, and return process 0's report line."""
+    if devices_per_proc < 2:
+        # The worker builds a ('data', 'model'=2) mesh; the data axis must
+        # have >= one shard per process for make_global_batch's per-process
+        # assembly, so each process needs at least data=1 x model=2 devices.
+        raise ValueError("devices_per_proc must be >= 2 "
+                         f"(got {devices_per_proc}): the worker mesh is "
+                         "(data, model=2)")
     repo = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     coordinator = f"localhost:{_free_port()}"
     procs = []
     for pid in range(num_processes):
         env = dict(os.environ)
-        env["XLA_FLAGS"] = (
-            env.get("XLA_FLAGS", "")
-            + f" --xla_force_host_platform_device_count={devices_per_proc}"
-        ).strip()
+        env["XLA_FLAGS"] = force_device_count_flags(env.get("XLA_FLAGS", ""),
+                                                    devices_per_proc)
         env["JAX_PLATFORMS"] = "cpu"
         procs.append(subprocess.Popen(
             [sys.executable, "-m", "aznet_tpu.parallel.multihost",
