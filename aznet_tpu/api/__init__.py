@@ -108,6 +108,20 @@ def _blob_dtype(cfg: Config):
             else jnp.bfloat16)
 
 
+def _maybe_quantize_feat(cfg: Config, feat):
+    """cfg.MODEL.INT8_ROI: quantize the trunk output once (conv5_3's
+    calibrated scale) so ROI pooling + fc6 run on the int8 MXU end to end
+    (ops/roi_pool.py::roi_align_int8). One elementwise pass per image,
+    hoisted out of the search's while_loop by construction."""
+    mc = cfg.MODEL
+    if (mc.INT8_ROI and mc.INT8_HEAD_SCALES and mc.POOLING_MODE == "align"
+            and mc.COMPUTE_DTYPE != "float32"):
+        from aznet_tpu.ops.conv_int8 import quantize_acts
+
+        return quantize_acts(feat, mc.INT8_HEAD_SCALES[0])
+    return feat
+
+
 def _cast_inference_params(params, cfg: Config):
     """Pre-cast float32 params to the compute dtype ONCE per call.
 
@@ -149,7 +163,8 @@ def _propose_core(model, params, cfg: Config, image, canvas_hw,
         canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
         src_hw=src_hw, scale=scale,
     )
-    feat = model.apply(params, blob[None], method="features")[0]
+    feat = _maybe_quantize_feat(cfg, model.apply(
+        params, blob[None], method="features")[0])
 
     def roi_fwd(f, r):
         return model.apply(params, f, r, method="roi_forward")
@@ -262,7 +277,8 @@ def _detect_core(model, params, cfg: Config, image, boxes, canvas_hw,
         canvas_hw[0], canvas_hw[1], dtype=_blob_dtype(cfg),
         src_hw=src_hw, scale=scale,
     )
-    feat = model.apply(params, blob[None], method="features")[0]
+    feat = _maybe_quantize_feat(cfg, model.apply(
+        params, blob[None], method="features")[0])
     if src_hw is None:
         h0 = jnp.asarray(image.shape[0], jnp.float32)
         w0 = jnp.asarray(image.shape[1], jnp.float32)
@@ -306,7 +322,8 @@ def _detect_core_pyramid(model, params, cfg: Config, image, boxes, canvases):
             image, cfg.PIXEL_MEANS, target, cfg.TEST.MAX_SIZE,
             canvases[s_idx][0], canvases[s_idx][1], dtype=_blob_dtype(cfg),
         )
-        feat = model.apply(params, blob[None], method="features")[0]
+        feat = _maybe_quantize_feat(cfg, model.apply(
+            params, blob[None], method="features")[0])
         pooled_s.append(model.apply(params, feat, boxes * im_scale,
                                     method="roi_pool_only"))
         # fast-rcnn's rule: minimize |area * scale^2 - 224^2| (not the
@@ -438,12 +455,17 @@ def make_fused_detect_batch_padded(az_model, frcnn_model, cfg_az: Config,
                 dtype=_blob_dtype(cfg_az), src_hw=hw, scale=s,
             )
             feat = az_model.apply(az_p, blob[None], method="features")[0]
+            # Each net quantizes at ITS calibrated conv5_3 scale (the int8
+            # fc6 dequants with the same constant); XLA CSEs the two passes
+            # when the scales agree.
+            feat_az = _maybe_quantize_feat(cfg_az, feat)
+            feat_fr = _maybe_quantize_feat(cfg_fr, feat)
 
             def roi_fwd(f, r):
                 return az_model.apply(az_p, f, r, method="roi_forward")
 
             boxes, p_scores, valid = az_search(
-                roi_fwd, feat, (vh, vw), cfg_az.SEAR,
+                roi_fwd, feat_az, (vh, vw), cfg_az.SEAR,
                 num_templates=cfg_az.MODEL.NUM_TEMPLATES,
                 offset=cfg_az.BOX_OFFSET,
             )
@@ -453,7 +475,7 @@ def make_fused_detect_batch_padded(az_model, frcnn_model, cfg_az: Config,
             n_iter = max(int(cfg_fr.TEST.BBOX_ITER), 1)
             cur = boxes  # scaled-image coords
             for it in range(n_iter):  # iterative regression, as _detect_core
-                out = frcnn_model.apply(fr_p, feat, cur,
+                out = frcnn_model.apply(fr_p, feat_fr, cur,
                                         method="roi_forward")
                 det_scores = jax.nn.softmax(out["cls_score"], axis=-1)
                 pred = bbox_transform_inv(cur / im_scale, out["bbox_pred"],

@@ -192,6 +192,14 @@ class ModelConfig:
     # bf16 (~35 TF/s effective, DESIGN.md finding 12) so the int8 traffic
     # still wins. Requires WIDTH=1.0.
     INT8_CHAIN_FROM: str = "conv2_2"
+    # Inference-only: quantize the trunk output feature map once per image
+    # (at INT8_HEAD_SCALES[0], the calibrated conv5_3 scale) and run the
+    # ROI-align row contraction — the search head's hot pooling matmul —
+    # on the int8 MXU (ops/roi_pool.py::roi_align_int8). Pooled features
+    # stay int8 into the int8 fc6, skipping a dequant->requant pass.
+    # Requires INT8_HEAD_SCALES and POOLING_MODE 'align'; no effect on
+    # training paths.
+    INT8_ROI: bool = False
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

@@ -39,10 +39,15 @@ class _FCStack(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        # x: [R, P, P, C] pooled roi features.
+        # x: [R, P, P, C] pooled roi features. int8 input = ALREADY
+        # quantized at s_in (the int8 roi_align path) — valid only for the
+        # int8 inference stack, which then skips its own quantize.
         x = x.reshape((x.shape[0], -1))
         if self.int8_scales and not train and not self.is_initializing():
             return self._int8_stack(x)
+        if x.dtype == jnp.int8:
+            raise ValueError("int8 pooled features reached a non-int8 head "
+                             "(missing INT8_HEAD_SCALES, or train=True)")
         x = x.astype(self.dtype)
         x = nn.Dense(self.fc_dim, dtype=self.dtype, name="fc6")(x)
         x = nn.relu(x)
@@ -72,7 +77,10 @@ class _FCStack(nn.Module):
                 return y.astype(self.dtype)
             return quantize_acts(y, s_out)
 
-        x8 = quantize_acts(x.astype(jnp.float32), s_in)
+        # roi_align_int8 hands pooled features over pre-quantized at s_in
+        # (same scale by convexity) — skip the dequant->requant round trip.
+        x8 = x if x.dtype == jnp.int8 else quantize_acts(
+            x.astype(jnp.float32), s_in)
         h8 = int8_dense(x8, s_in, "fc6", s_mid)
         return int8_dense(h8, s_mid, "fc7", None)
 

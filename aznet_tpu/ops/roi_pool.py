@@ -179,11 +179,74 @@ def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
     return _chunked_over_rois(one_chunk, rois, chunk)
 
 
+def roi_align_int8(feat8, rois, spatial_scale: float, pool_size: int = 7,
+                   sampling: int = 2, chunk: int = 256, offset: float = 0.0):
+    """ROI align over ALREADY-QUANTIZED int8 features -> int8 pooled.
+
+    ``feat8``: [H, W, C] int8 activations (symmetric, zero-point 0 — the
+    ops/conv_int8 scheme; quantize with the calibrated conv5_3 scale,
+    ``cfg.MODEL.INT8_HEAD_SCALES[0]``). Returns int8 [R, pool, pool, C] in
+    the SAME units/scale as ``feat8``: roi align is a convex combination
+    per output element (each weight row sums to 1), so |pooled| <= 127 and
+    the scale is preserved — the int8 fc6 can consume the result directly
+    with its calibrated ``s_in``, skipping the bf16 dequant->requant round
+    trip of the default path.
+
+    Compute shape (why this wins, DESIGN.md finding 10): the row
+    contraction ``[R*p, H] x [H, W*C]`` is the hot einsum of the search
+    head's pooling; its K dim (H ~ 38 at VOC scale) pads to the 128-lane
+    MXU tile identically in both dtypes, and the int8 MXU runs ~2x bf16
+    per cycle, so quantizing both operands halves the dominant term. The
+    interpolation weights are non-negative and <= 1, so ``round(w * 127)``
+    keys them into 7 bits with <= 0.4% per-weight error — below the 1/254
+    granularity the int8 fc6 input quantization imposes anyway. The second
+    (7x smaller) contraction stays bf16.
+
+    Reference equivalent: none — the reference's ROIPooling is f32 CUDA
+    (SURVEY.md §2.3; mount empty). TPU-new, inference-only.
+    """
+    h, w, c = feat8.shape
+    p = pool_size
+    assert feat8.dtype == jnp.int8, "roi_align_int8 wants int8 features"
+
+    def one_chunk(rchunk):
+        x1 = rchunk[:, 0] * spatial_scale - offset
+        y1 = rchunk[:, 1] * spatial_scale - offset
+        x2 = rchunk[:, 2] * spatial_scale - offset
+        y2 = rchunk[:, 3] * spatial_scale - offset
+        roi_w = jnp.maximum(x2 - x1, 1.0)
+        roi_h = jnp.maximum(y2 - y1, 1.0)
+        wy = _bilinear_pool_weights(y1, roi_h, h, p, sampling)  # [R, p, H]
+        wx = _bilinear_pool_weights(x1, roi_w, w, p, sampling)  # [R, p, W]
+        wy8 = jnp.round(wy * 127.0).astype(jnp.int8)
+        # Hot contraction on the int8 MXU: int32 accumulate, units of
+        # feat8/127 (wy8 carries the x127).
+        rows = jnp.einsum("rph,hwc->rpwc", wy8, feat8,
+                          preferred_element_type=jnp.int32)
+        rows = (rows.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
+        pooled = jnp.einsum("rqw,rpwc->rpqc", wx.astype(jnp.bfloat16), rows,
+                            preferred_element_type=jnp.float32)
+        # Convexity bounds |pooled| by max|feat8| up to the ~0.4% weight
+        # quantization slack; the clip covers that slack at the rails.
+        pooled = jnp.clip(jnp.round(pooled), -127.0, 127.0)
+        return pooled.astype(jnp.int8)
+
+    return _chunked_over_rois(one_chunk, rois, chunk)
+
+
 def roi_pool(feat, rois, spatial_scale: float, pool_size: int = 7,
              mode: str = "align", **kw):
     """Dispatch on cfg.MODEL.POOLING_MODE: 'align' (XLA separable matmuls,
     the default/fastest), 'align_pallas' (fully fused VMEM kernel, exact
-    same numerics), 'caffe_max' (reference ROIPooling parity)."""
+    same numerics), 'caffe_max' (reference ROIPooling parity).
+
+    int8 features select the int8 MXU path (:func:`roi_align_int8`,
+    'align' mode only) and return int8 pooled in the same scale."""
+    if feat.dtype == jnp.int8:
+        if mode != "align":
+            raise ValueError(
+                f"int8 features need POOLING_MODE 'align', got {mode!r}")
+        return roi_align_int8(feat, rois, spatial_scale, pool_size, **kw)
     if mode == "align":
         return roi_align(feat, rois, spatial_scale, pool_size, **kw)
     if mode == "align_pallas":

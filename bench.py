@@ -159,8 +159,14 @@ def _build(preset: str):
         else:  # bf16 trunk + int8 heads
             cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
                 cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))
+        # AZNET_ROI_INT8=0 disables the int8 roi-align contraction for A/B
+        # (on by default with int8 heads: the pooling row-matmul rides the
+        # int8 MXU and pooled feats skip the dequant->requant pass).
+        if os.environ.get("AZNET_ROI_INT8", "1") != "0":
+            cfg = cfg_from_dict(cfg, {"MODEL": {"INT8_ROI": True}})
         net = build_az_net(cfg, params=net.params)
-        print(f"# dtype={dtype} ({len(scales)}+2 scales)", flush=True)
+        print(f"# dtype={dtype} ({len(scales)}+2 scales) "
+              f"roi_int8={cfg.MODEL.INT8_ROI}", flush=True)
     elif (dtype in ("int8", "int8_heads")
             and cfg.MODEL.BACKBONE == "resnet50"
             and jax.devices()[0].platform != "cpu"):
@@ -182,8 +188,11 @@ def _build(preset: str):
         else:  # bf16 trunk + int8 heads
             cfg = dataclasses.replace(cfg, MODEL=dataclasses.replace(
                 cfg.MODEL, INT8_HEAD_SCALES=tuple(head_scales)))
+        if os.environ.get("AZNET_ROI_INT8", "1") != "0":
+            cfg = cfg_from_dict(cfg, {"MODEL": {"INT8_ROI": True}})
         net = build_az_net(cfg, params=net.params)
-        print(f"# dtype={dtype} ({len(scales)}+2 scales)", flush=True)
+        print(f"# dtype={dtype} ({len(scales)}+2 scales) "
+              f"roi_int8={cfg.MODEL.INT8_ROI}", flush=True)
     if len(jax.devices()) > 1:
         # Multi-chip: shard the batch over the 'data' mesh axis (the
         # parallel/inference.py path; per-chip batch stays the batch knob).

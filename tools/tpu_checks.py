@@ -128,6 +128,36 @@ def check_roi_align():
     return {"ok": err < 1e-3, "max_rel_err": err}
 
 
+def check_roi_align_int8():
+    """int8-MXU roi align vs the f32 separable align on the same
+    (dequantized) features: error bound = weight-quant + bf16-rows +
+    final-round budget (tests/test_roi_int8.py, DESIGN round-4)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.roi_pool import roi_align, roi_align_int8
+
+    rng = np.random.RandomState(7)
+    feat8 = rng.randint(-127, 128, (38, 50, 512)).astype(np.int8)
+    rois = np.zeros((256, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 600, 256)
+    rois[:, 1] = rng.uniform(0, 450, 256)
+    rois[:, 2] = rois[:, 0] + rng.uniform(16, 200, 256)
+    rois[:, 3] = rois[:, 1] + rng.uniform(16, 150, 256)
+    rois = jnp.asarray(rois)
+    got = np.asarray(jax.jit(
+        lambda f, r: roi_align_int8(f, r, 1.0 / 16.0)
+    )(jnp.asarray(feat8), rois)).astype(np.float32)
+    ref = np.asarray(jax.jit(
+        lambda f, r: roi_align(f, r, 1.0 / 16.0)
+    )(jnp.asarray(feat8, jnp.float32), rois))
+    err = float(np.abs(got - ref).max())
+    cos = float((got * ref).sum()
+                / max(np.linalg.norm(got) * np.linalg.norm(ref), 1e-9))
+    return {"ok": err <= 3.5 and cos > 0.999, "max_err_int8_units": err,
+            "cosine": cos}
+
+
 def check_int8_conv():
     import jax.numpy as jnp
     import jax
@@ -306,6 +336,7 @@ CHECKS = {
     "nms_intkey_vs_argsort_order": check_nms_intkey,
     "iou_pallas_vs_jnp": check_iou,
     "roi_align_pallas_vs_xla": check_roi_align,
+    "roi_align_int8_vs_f32": check_roi_align_int8,
     "int8_conv_vs_f32_exact": check_int8_conv,
     "int8_conv_pallas_strip_vs_f32_exact": check_int8_conv_pallas,
     "int8_chain_vs_strip_exact": check_int8_chain,
