@@ -102,9 +102,13 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
     ``impl``: 'auto' (Pallas kernel on TPU for N >= 512, else the fixpoint),
     'fixpoint', or 'pallas'. Both are exact greedy (tested equal).
     ``order_mode`` (pallas impl): 'argsort' | 'intkey' — how the kernel
-    wrapper derives the score-descending permutation (identical keep sets;
-    the argsort is ~2/3 of the wrapper cost at serving shapes, DESIGN
-    finding 20). Default: env ``AZNET_NMS_ORDER`` or 'argsort'.
+    wrapper derives the score-descending permutation (identical keep sets
+    AND identical order, hardware-pinned by tpu_checks
+    nms_intkey_vs_argsort_order; the sort is ~2/3 of the wrapper cost at
+    serving shapes, DESIGN findings 20/23). Default: env
+    ``AZNET_NMS_ORDER`` or 'intkey' — the measured-fastest wrapper
+    (23.70 vs 22.84 Mboxes/s at 16x4096); float64 scores fall back to the
+    stable argsort inside the kernel wrapper to keep the order contract.
 
     Fixpoint algorithm: sort by score desc; build the strict-lower-triangular
     suppression matrix ``S[i, j] = (j < i) & (IoU > t)``; iterate the
@@ -122,7 +126,7 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
         from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
 
         if order_mode is None:
-            order_mode = os.environ.get("AZNET_NMS_ORDER", "argsort")
+            order_mode = os.environ.get("AZNET_NMS_ORDER", "intkey")
         return nms_pallas(boxes, scores, iou_threshold, valid=valid,
                           offset=offset, order_mode=order_mode)
     if valid is None:

@@ -24,6 +24,7 @@ All are pure jnp / Pallas (jit/vmap/grad-safe where applicable).
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -143,8 +144,27 @@ def _bilinear_pool_weights(lo, size, extent: int, pool: int, sampling: int):
     return w.reshape(r, pool, sampling, extent).mean(axis=2)
 
 
+def _contract_w_first(h: int, w: int, c: int, itemsize: int,
+                      override) -> bool:
+    """Pick the separable-contraction order that minimizes the staged
+    intermediate. Contracting H first stages [R, p, W, C]; W first stages
+    [R, q, H, C] — on big feature maps that intermediate is pure HBM
+    traffic between two matmuls XLA cannot fuse (at ResNet-50@1088x1920,
+    stride 16, C=1024 it is 220 vs 124 MB per 128-roi level — DESIGN.md
+    round-4). Only kicks in when the map is HBM-resident-scale (> 8 MB):
+    small maps keep the historical H-first order so the Pallas fused
+    kernel and the hardware parity checks stay bit-identical."""
+    if override is not None:
+        return bool(override)
+    env = os.environ.get("AZNET_ROI_WFIRST")  # pipeline A/B knob
+    if env is not None:
+        return env != "0"
+    return w > h and h * w * c * itemsize > 8 * 1024 * 1024
+
+
 def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
-              sampling: int = 2, chunk: int = 256, offset: float = 0.0):
+              sampling: int = 2, chunk: int = 256, offset: float = 0.0,
+              w_first=None):
     """ROI align: bilinear crop-and-resize + average pooling (TPU-native).
 
     ``feat``: [H, W, C]; ``rois``: [R, 4] image coords. Returns
@@ -154,10 +174,13 @@ def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
 
     Implementation: separable interpolation expressed as two einsum
     contractions against small per-roi weight matrices — the whole op runs
-    on the MXU with zero gathers (see _bilinear_pool_weights).
+    on the MXU with zero gathers (see _bilinear_pool_weights). Contraction
+    order picks the smaller staged intermediate (``w_first=None`` — see
+    _contract_w_first; pass True/False to pin it).
     """
     h, w, c = feat.shape
     p = pool_size
+    wf = _contract_w_first(h, w, c, jnp.dtype(feat.dtype).itemsize, w_first)
 
     def one_chunk(rchunk):
         x1 = rchunk[:, 0] * spatial_scale - offset
@@ -170,17 +193,25 @@ def roi_align(feat, rois, spatial_scale: float, pool_size: int = 7,
         wx = _bilinear_pool_weights(x1, roi_w, w, p, sampling)  # [R, p, W]
         wy = wy.astype(feat.dtype)
         wx = wx.astype(feat.dtype)
-        rows = jnp.einsum("rph,hwc->rpwc", wy, feat,
-                          preferred_element_type=jnp.float32)
-        pooled = jnp.einsum("rqw,rpwc->rpqc", wx, rows.astype(feat.dtype),
-                            preferred_element_type=jnp.float32)
+        if wf:
+            cols = jnp.einsum("rqw,hwc->rqhc", wx, feat,
+                              preferred_element_type=jnp.float32)
+            pooled = jnp.einsum("rph,rqhc->rpqc", wy,
+                                cols.astype(feat.dtype),
+                                preferred_element_type=jnp.float32)
+        else:
+            rows = jnp.einsum("rph,hwc->rpwc", wy, feat,
+                              preferred_element_type=jnp.float32)
+            pooled = jnp.einsum("rqw,rpwc->rpqc", wx, rows.astype(feat.dtype),
+                                preferred_element_type=jnp.float32)
         return pooled.astype(feat.dtype)
 
     return _chunked_over_rois(one_chunk, rois, chunk)
 
 
 def roi_align_int8(feat8, rois, spatial_scale: float, pool_size: int = 7,
-                   sampling: int = 2, chunk: int = 256, offset: float = 0.0):
+                   sampling: int = 2, chunk: int = 256, offset: float = 0.0,
+                   w_first=None):
     """ROI align over ALREADY-QUANTIZED int8 features -> int8 pooled.
 
     ``feat8``: [H, W, C] int8 activations (symmetric, zero-point 0 — the
@@ -208,6 +239,7 @@ def roi_align_int8(feat8, rois, spatial_scale: float, pool_size: int = 7,
     h, w, c = feat8.shape
     p = pool_size
     assert feat8.dtype == jnp.int8, "roi_align_int8 wants int8 features"
+    wf = _contract_w_first(h, w, c, 1, w_first)
 
     def one_chunk(rchunk):
         x1 = rchunk[:, 0] * spatial_scale - offset
@@ -218,14 +250,25 @@ def roi_align_int8(feat8, rois, spatial_scale: float, pool_size: int = 7,
         roi_h = jnp.maximum(y2 - y1, 1.0)
         wy = _bilinear_pool_weights(y1, roi_h, h, p, sampling)  # [R, p, H]
         wx = _bilinear_pool_weights(x1, roi_w, w, p, sampling)  # [R, p, W]
-        wy8 = jnp.round(wy * 127.0).astype(jnp.int8)
-        # Hot contraction on the int8 MXU: int32 accumulate, units of
-        # feat8/127 (wy8 carries the x127).
-        rows = jnp.einsum("rph,hwc->rpwc", wy8, feat8,
-                          preferred_element_type=jnp.int32)
-        rows = (rows.astype(jnp.float32) * (1.0 / 127.0)).astype(jnp.bfloat16)
-        pooled = jnp.einsum("rqw,rpwc->rpqc", wx.astype(jnp.bfloat16), rows,
-                            preferred_element_type=jnp.float32)
+        # Hot (feature-operand) contraction on the int8 MXU: int32
+        # accumulate, units of feat8/127 (the int8 weight carries the
+        # x127). The axis-order heuristic applies as in roi_align.
+        if wf:
+            wx8 = jnp.round(wx * 127.0).astype(jnp.int8)
+            cols = jnp.einsum("rqw,hwc->rqhc", wx8, feat8,
+                              preferred_element_type=jnp.int32)
+            cols = (cols.astype(jnp.float32)
+                    * (1.0 / 127.0)).astype(jnp.bfloat16)
+            pooled = jnp.einsum("rph,rqhc->rpqc", wy.astype(jnp.bfloat16),
+                                cols, preferred_element_type=jnp.float32)
+        else:
+            wy8 = jnp.round(wy * 127.0).astype(jnp.int8)
+            rows = jnp.einsum("rph,hwc->rpwc", wy8, feat8,
+                              preferred_element_type=jnp.int32)
+            rows = (rows.astype(jnp.float32)
+                    * (1.0 / 127.0)).astype(jnp.bfloat16)
+            pooled = jnp.einsum("rqw,rpwc->rpqc", wx.astype(jnp.bfloat16),
+                                rows, preferred_element_type=jnp.float32)
         # Convexity bounds |pooled| by max|feat8| up to the ~0.4% weight
         # quantization slack; the clip covers that slack at the rails.
         pooled = jnp.clip(jnp.round(pooled), -127.0, 127.0)

@@ -93,3 +93,46 @@ def test_dispatch_and_jit():
         lambda f, r: roi_pool(f, r, 1.0 / 16, 7, mode="caffe_max")
     )(jnp.asarray(feat), jnp.asarray(rois))
     assert out2.shape == (5, 7, 7, 8)
+
+
+def test_align_contraction_order_equivalence():
+    """W-first vs H-first separable contraction: same math, different
+    staging (the big-map HBM heuristic, DESIGN.md round-4). f32 features
+    make the two association orders agree to float tolerance."""
+    from aznet_tpu.ops.roi_pool import _contract_w_first, roi_align
+
+    rng = np.random.RandomState(5)
+    feat = jnp.asarray(rng.uniform(-2, 2, (20, 34, 16)).astype(np.float32))
+    r = 32
+    x1 = rng.uniform(0, 30 * 16, r)
+    y1 = rng.uniform(0, 16 * 16, r)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, x1 + rng.uniform(16, 200, r), y1 + rng.uniform(16, 150, r)],
+        1), jnp.float32)
+    a = np.asarray(roi_align(feat, rois, 1 / 16.0, w_first=False))
+    b = np.asarray(roi_align(feat, rois, 1 / 16.0, w_first=True))
+    np.testing.assert_allclose(a, b, rtol=2e-5, atol=2e-5)
+
+    # heuristic: only big, wide maps swap; itemsize matters
+    assert not _contract_w_first(38, 50, 512, 2, None)      # VOC VGG: small
+    assert _contract_w_first(68, 120, 1024, 2, None)        # 1080p ResNet
+    assert not _contract_w_first(120, 68, 1024, 2, None)    # tall: H first
+    assert _contract_w_first(38, 50, 512, 2, True)          # pin wins
+
+
+def test_align_int8_contraction_order_equivalence():
+    from aznet_tpu.ops.roi_pool import roi_align_int8
+
+    rng = np.random.RandomState(6)
+    feat8 = jnp.asarray(rng.randint(-127, 128, (20, 34, 16)).astype(np.int8))
+    r = 32
+    x1 = rng.uniform(0, 30 * 16, r)
+    y1 = rng.uniform(0, 16 * 16, r)
+    rois = jnp.asarray(np.stack(
+        [x1, y1, x1 + rng.uniform(16, 200, r), y1 + rng.uniform(16, 150, r)],
+        1), jnp.float32)
+    a = np.asarray(roi_align_int8(feat8, rois, 1 / 16.0, w_first=False))
+    b = np.asarray(roi_align_int8(feat8, rois, 1 / 16.0, w_first=True))
+    # each order quantizes a DIFFERENT weight matrix to int8, so agreement
+    # is bounded by the documented weight-quant budget, not exact
+    assert np.abs(a.astype(np.float32) - b.astype(np.float32)).max() <= 3.5
