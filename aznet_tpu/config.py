@@ -200,6 +200,12 @@ class ModelConfig:
     # Requires INT8_HEAD_SCALES and POOLING_MODE 'align'; no effect on
     # training paths.
     INT8_ROI: bool = False
+    # ResNet stem as the exact space-to-depth rewrite (models/resnet.py
+    # StemConv): pad the 7x7 kernel to 8x8, s2d the input by 2, run a 4x4
+    # stride-1 conv — term-identical math, ~4x better MXU contraction
+    # depth on the 3-channel input. Same checkpoints (in-jit re-layout);
+    # auto-falls-back on odd input sizes. vgg16 ignores this.
+    STEM_S2D: bool = True
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

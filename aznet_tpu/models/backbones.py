@@ -44,7 +44,8 @@ def get_backbone(model_cfg: ModelConfig):
         # stem/3x3s stay bf16. Scales from calibrate_trunk_int8_resnet.
         return cls(dtype=dtype,
                    int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
-                   int8_scales=tuple(model_cfg.INT8_SCALES))
+                   int8_scales=tuple(model_cfg.INT8_SCALES),
+                   stem_s2d=model_cfg.STEM_S2D)
     if model_cfg.COMPUTE_DTYPE == "int8":
         raise ValueError(
             f"COMPUTE_DTYPE='int8' is only implemented for the vgg16 and "

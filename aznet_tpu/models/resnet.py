@@ -28,6 +28,7 @@ from __future__ import annotations
 
 from typing import Any, Sequence, Tuple
 
+import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
@@ -36,6 +37,57 @@ from aznet_tpu.ops.conv_int8 import (
     quantize_acts,
     quantize_weights_1x1,
 )
+
+
+class StemConv(nn.Module):
+    """The 7x7/stride-2 stem, optionally as an EXACT space-to-depth
+    rewrite (``s2d=True``).
+
+    A 3-channel 7x7 conv starves the MXU: the contraction depth is
+    7*7*3 = 147 values of which only 3 land per lane-tile row, and the
+    1088x1920 input is touched at stride 2 — the classic TPU stem
+    pathology (config 5 measured the bf16 trunk at ~12% MFU). The
+    MLPerf-ResNet trick rewrites it exactly: pad the kernel 7x7 -> 8x8
+    with a zero leading row/column, space-to-depth the input by 2
+    (``[H, W, 3] -> [H/2, W/2, 12]``), and run a 4x4 *stride-1* conv —
+    identical math term-by-term, since output position i's taps
+    ``u = a-3 in [-3, 3]`` map to s2d rows ``p - i in [-2, 1]`` with
+    ``u = 2(p-i) + dy`` and the padded ``u = -4`` row multiplied by zero.
+    The contraction depth becomes 4*4*12 = 192 (> the 128-lane tile) and
+    the conv runs at the already-halved resolution.
+
+    The parameter stays the nn.Conv-layout ``kernel [7, 7, 3, 64]`` —
+    checkpoints and Caffe weight conversion are untouched; the re-layout
+    happens in-jit (XLA constant-folds it per compilation).
+
+    Reference equivalent: none — the reference's Caffe stem is cuDNN's
+    problem (SURVEY.md §2.3; mount empty). TPU-new.
+    """
+
+    features: int = 64
+    dtype: Any = jnp.bfloat16
+    s2d: bool = True
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (7, 7, 3, self.features), jnp.float32)
+        b, h, w, c = x.shape
+        if not self.s2d or h % 2 or w % 2:
+            return jax.lax.conv_general_dilated(
+                x, kernel.astype(self.dtype), window_strides=(2, 2),
+                padding=((3, 3), (3, 3)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        # channel packing order (dy, dx, c) — must match the kernel reshape
+        z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+        z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+        w8 = jnp.pad(kernel, ((1, 0), (1, 0), (0, 0), (0, 0)))  # u=-4 row/col
+        k4 = w8.reshape(4, 2, 4, 2, c, self.features)  # (py, dy, px, dx, c, o)
+        k4 = k4.transpose(0, 2, 1, 3, 4, 5).reshape(4, 4, 4 * c, self.features)
+        return jax.lax.conv_general_dilated(
+            z, k4.astype(self.dtype), window_strides=(1, 1),
+            padding=((2, 1), (2, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
 
 class FrozenBN(nn.Module):
@@ -124,6 +176,9 @@ class ResNet50Trunk(nn.Module):
     # 26 floats from calibrate_trunk_int8_resnet); empty = all-bf16.
     int8_mode: bool = False
     int8_scales: Tuple[float, ...] = ()
+    # Exact space-to-depth stem rewrite (StemConv docstring). Same params/
+    # checkpoints; falls back to the plain 7x7 conv on odd input sizes.
+    stem_s2d: bool = True
 
     feat_stride: int = 16
     out_channels: int = 1024
@@ -139,8 +194,7 @@ class ResNet50Trunk(nn.Module):
                 f"aznet_tpu.ops.quant.calibrate_trunk_int8_resnet first); "
                 f"got {len(scales)}")
         x = x.astype(self.dtype)
-        x = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
-                    dtype=self.dtype, use_bias=False, name="conv1")(x)
+        x = StemConv(dtype=self.dtype, s2d=self.stem_s2d, name="conv1")(x)
         x = nn.relu(FrozenBN(dtype=self.dtype, name="bn1")(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         i = 0

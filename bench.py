@@ -123,6 +123,9 @@ def _build(preset: str):
     if os.environ.get("AZNET_BENCH_POOLING"):
         cfg = cfg_from_dict(
             cfg, {"MODEL": {"POOLING_MODE": os.environ["AZNET_BENCH_POOLING"]}})
+    # AZNET_BENCH_S2D=0: disable the ResNet space-to-depth stem for A/B.
+    if os.environ.get("AZNET_BENCH_S2D") == "0":
+        cfg = cfg_from_dict(cfg, {"MODEL": {"STEM_S2D": False}})
     net = build_az_net(cfg)
     # AZNET_BENCH_DTYPE: int8 (DEFAULT since the chain kernel: hybrid
     # int8 CHAIN trunk + int8 fc heads, measured 309.1 img/s @ b32 —

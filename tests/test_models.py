@@ -223,3 +223,48 @@ def test_caffe_ceil_mode_pool_shape():
         out = _pool3x2(jnp.zeros((1, h, h, 4)))
         want = -(-(h - 3) // 2) + 1  # ceil((h-3)/2) + 1
         assert out.shape[1] == want, (h, out.shape[1], want)
+
+
+def test_resnet_stem_s2d_exact():
+    """Space-to-depth stem (StemConv s2d=True) == the plain 7x7/s2 conv,
+    term-identical math (same params, in-jit re-layout). Covers interior,
+    all four borders (padding equivalence), and the odd-size fallback."""
+    import jax
+    from aznet_tpu.models.resnet import StemConv
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 36, 44, 3)).astype(np.float32))
+    plain = StemConv(dtype=jnp.float32, s2d=False)
+    s2d = StemConv(dtype=jnp.float32, s2d=True)
+    params = plain.init(jax.random.PRNGKey(0), x)
+    a = np.asarray(plain.apply(params, x))
+    b = np.asarray(s2d.apply(params, x))   # same params by construction
+    assert a.shape == b.shape == (2, 18, 22, 64)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+    # odd input size: s2d module falls back to the plain conv path
+    x_odd = jnp.asarray(rng.uniform(-2, 2, (1, 35, 44, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(s2d.apply(params, x_odd)),
+                               np.asarray(plain.apply(params, x_odd)),
+                               rtol=1e-6, atol=1e-6)
+
+    # gradients flow through the re-layout (training path)
+    g = jax.grad(lambda p: jnp.sum(s2d.apply(p, x) ** 2))(params)
+    gk = np.asarray(g["params"]["kernel"])
+    assert gk.shape == (7, 7, 3, 64) and np.isfinite(gk).all()
+    g0 = jax.grad(lambda p: jnp.sum(plain.apply(p, x) ** 2))(params)
+    np.testing.assert_allclose(gk, np.asarray(g0["params"]["kernel"]),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_resnet_trunk_s2d_matches_plain():
+    from aznet_tpu.models.resnet import ResNet50Trunk
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.uniform(-1, 1, (1, 64, 96, 3)).astype(np.float32))
+    t_plain = ResNet50Trunk(dtype=jnp.float32, stem_s2d=False)
+    t_s2d = ResNet50Trunk(dtype=jnp.float32, stem_s2d=True)
+    params = t_plain.init(jax.random.PRNGKey(1), x)
+    a = np.asarray(t_plain.apply(params, x))
+    b = np.asarray(t_s2d.apply(params, x))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
