@@ -134,7 +134,13 @@ def _build(preset: str):
     # int8 fc stack, the pre-chain winner at 300.5) | bfloat16 (the
     # round-1/2 configuration, for apples-to-apples with BENCH_r01/r02).
     # The int8 paths add a short activation-calibration pass at startup.
-    dtype = os.environ.get("AZNET_BENCH_DTYPE", "int8")
+    # ResNet-50 defaults to bfloat16: the measured round-4 1080p A/B has
+    # bf16 at 58.22 img/s vs 52.79 full-int8 / 52.70 int8_heads (b4, idle
+    # chip) — the bottleneck 1x1 GEMM + roi quant boundaries cost more
+    # than the int8 MXU returns at this shape (DESIGN.md finding 25).
+    default_dtype = ("bfloat16" if cfg.MODEL.BACKBONE == "resnet50"
+                     else "int8")
+    dtype = os.environ.get("AZNET_BENCH_DTYPE", default_dtype)
     if (dtype in ("int8", "int8_heads") and cfg.MODEL.BACKBONE == "vgg16"
             and jax.devices()[0].platform != "cpu"):
         import dataclasses
