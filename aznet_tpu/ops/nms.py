@@ -93,7 +93,7 @@ def _pallas_profitable(n: int) -> bool:
 
 
 def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
-             impl: str = "auto", order_mode: str = None):
+             impl: str = "auto", order_mode: "str | None" = None):
     """Exact greedy-NMS keep mask, in the ORIGINAL box order.
 
     ``boxes [N, 4]``, ``scores [N]``, optional ``valid [N]`` bool mask for
@@ -109,6 +109,10 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
     ``AZNET_NMS_ORDER`` or 'intkey' — the measured-fastest wrapper
     (23.70 vs 22.84 Mboxes/s at 16x4096); float64 scores fall back to the
     stable argsort inside the kernel wrapper to keep the order contract.
+    NOTE: the env var is read at TRACE time — a jitted caller captures it
+    per jit cache entry, so flipping ``AZNET_NMS_ORDER`` after a program
+    has compiled does not affect that compiled program (clear the jit
+    cache or pass ``order_mode`` explicitly to A/B inside one process).
 
     Fixpoint algorithm: sort by score desc; build the strict-lower-triangular
     suppression matrix ``S[i, j] = (j < i) & (IoU > t)``; iterate the

@@ -280,8 +280,14 @@ def roi_align_int8(feat8, rois, spatial_scale: float, pool_size: int = 7,
 def roi_pool(feat, rois, spatial_scale: float, pool_size: int = 7,
              mode: str = "align", **kw):
     """Dispatch on cfg.MODEL.POOLING_MODE: 'align' (XLA separable matmuls,
-    the default/fastest), 'align_pallas' (fully fused VMEM kernel, exact
-    same numerics), 'caffe_max' (reference ROIPooling parity).
+    the default/fastest), 'align_pallas' (fully fused VMEM kernel; exact
+    same numerics as 'align' in the H-first regime — small maps, <= 8 MB.
+    On larger maps 'align' switches to the w-first contraction order
+    (_contract_w_first), whose bf16-staged intermediate is a DIFFERENT
+    reduction order: outputs then agree to rounding tolerance, not
+    bit-exactly — pinned by tests/test_roi_pool.py::
+    test_align_contraction_order_equivalence), 'caffe_max' (reference
+    ROIPooling parity).
 
     int8 features select the int8 MXU path (:func:`roi_align_int8`,
     'align' mode only) and return int8 pooled in the same scale."""

@@ -71,6 +71,20 @@ def test_persistent_contention_returns_min_positive():
     np.testing.assert_allclose(dt, 0.010, rtol=1e-9)
 
 
+def test_all_negative_estimates_return_nan():
+    clock = _FakeClock()
+    # Pathological contention: EVERY trial's lo call is slower than its hi
+    # call, so no positive per-step estimate ever exists. The round-4
+    # advisor finding: returning max(dts) here (a value <= 0) produced a
+    # negative/infinite img/s in the artifact. Must return NaN instead.
+    run_lo = _mk(clock, [0.500] * 9)
+    run_hi = _mk(clock, [0.090] * 9)
+    dt, contended = bench.scan_diff_time(run_lo, run_hi, 2, 6, trials=3,
+                                         retries=2, clock=clock)
+    assert contended
+    assert np.isnan(dt)
+
+
 def test_negative_estimate_is_rejected():
     clock = _FakeClock()
     # lo contaminated so hi-lo goes negative in one trial; a negative

@@ -76,6 +76,15 @@ def check_nms_intkey():
     boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
     scores_np = np.floor(rng.rand(bsz, n) * 16).astype(np.float32) / 16.0
     scores_np[0, :32] = -0.0
+    # Subnormals: the intkey builder flushes every exponent-zero value to
+    # the +0.0 key, relying on XLA's sort comparator being FTZ so the
+    # stable argsort also ties them with 0.0. That comparator behavior is
+    # undocumented — pin it ON HARDWARE, not just CPU (round-4 advisor):
+    # a backend whose comparator ranked subnormals IEEE-exactly would
+    # break the identical-order contract for the default serving path.
+    scores_np[1, :16] = 1e-40
+    scores_np[1, 16:32] = -1e-40
+    scores_np[1, 32:48] = 0.0
     scores = jnp.asarray(scores_np)
     run = jax.jit(lambda b, s, m: nms_pallas_batched(b, s, 0.5, order_mode=m),
                   static_argnums=2)
