@@ -94,6 +94,10 @@ def bbox_overlaps(boxes: np.ndarray, query: np.ndarray,
 
 
 def coco_match_available() -> bool:
+    # AZNET_NO_NATIVE_COCO=1 forces the NumPy fallback tier (A/B knob for
+    # tools/bench_coco_eval.py; read per call so a tool can flip it).
+    if os.environ.get("AZNET_NO_NATIVE_COCO") == "1":
+        return False
     lib = _lib()
     return lib is not None and hasattr(lib, "az_coco_match")
 

@@ -31,11 +31,25 @@ def _run(args, timeout=240):
 
 def test_help_screens():
     for tool in ("train_net", "test_net", "propose_net", "demo", "time_net",
-                 "bench_train", "bench_fused_detect", "tpu_checks",
-                 "ingest_data", "convert_caffe", "verify_reference"):
+                 "bench_train", "bench_fused_detect", "bench_coco_eval",
+                 "tpu_checks", "ingest_data", "convert_caffe",
+                 "verify_reference"):
         r = _run([f"tools/{tool}.py", "--help"], timeout=60)
         assert r.returncode == 0, r.stderr[-500:]
         assert "usage" in r.stdout.lower()
+
+
+def test_bench_coco_eval_tiers_agree():
+    # Tiny run of the COCO-scale eval benchmark: both matcher tiers must
+    # produce identical metrics (asserted in-tool; finding 26a's harness).
+    r = _run(["tools/bench_coco_eval.py", "--images", "8",
+              "--dets-per-img", "30"], timeout=240)
+    assert r.returncode == 0, r.stderr[-800:]
+    lines = [json.loads(x) for x in r.stdout.splitlines()
+             if x.startswith("{")]
+    assert lines and all("AP" in x for x in lines)
+    if len(lines) == 2:  # native tier present on this machine
+        assert "tiers agree" in r.stdout
 
 
 def test_train_then_recall_chain(tmp_path):
