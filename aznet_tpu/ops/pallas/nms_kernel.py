@@ -144,22 +144,125 @@ def _descending_order(s, mode: str):
     if mode == "argsort" or s.dtype == jnp.float64:
         return jnp.argsort(-s, axis=1, stable=True)
     assert mode == "intkey", mode
-    u = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
-    # Flush every exponent-zero value (+-0.0 AND subnormals) to the +0.0
-    # key so float-compare-equal scores get ONE key and the index
-    # tie-break decides, matching the stable argsort under XLA's
-    # flush-to-zero comparator (TPU has no subnormals; CPU XLA sorts with
-    # FTZ). Must happen on the integer side: a float-side `s + 0.0` fold
-    # is elided by XLA under jit (round-3 advisor finding).
-    u = jnp.where((u & jnp.uint32(0x7F800000)) == 0, jnp.uint32(0), u)
-    sign = (u >> 31).astype(jnp.uint32)
-    key = u ^ (sign * jnp.uint32(0x7FFFFFFF) + jnp.uint32(0x80000000))
-    key = ~key  # descending score == ascending complemented key
+    key = _intkey_u32(s)
     iota = jnp.broadcast_to(jnp.arange(s.shape[1], dtype=jnp.int32),
                             s.shape)
     _, order = jax.lax.sort((key, iota), dimension=1, num_keys=2,
                             is_stable=False)
     return order
+
+
+def _intkey_u32(s):
+    """uint32 keys whose ASCENDING unsigned order == score-descending.
+
+    Flush every exponent-zero value (+-0.0 AND subnormals) to the +0.0
+    key so float-compare-equal scores get ONE key and the index
+    tie-break decides, matching the stable argsort under XLA's
+    flush-to-zero comparator (TPU has no subnormals; CPU XLA sorts with
+    FTZ). Must happen on the integer side: a float-side `s + 0.0` fold
+    is elided by XLA under jit (round-3 advisor finding)."""
+    u = jax.lax.bitcast_convert_type(s.astype(jnp.float32), jnp.uint32)
+    u = jnp.where((u & jnp.uint32(0x7F800000)) == 0, jnp.uint32(0), u)
+    sign = (u >> 31).astype(jnp.uint32)
+    key = u ^ (sign * jnp.uint32(0x7FFFFFFF) + jnp.uint32(0x80000000))
+    return ~key  # descending score == ascending complemented key
+
+
+# int32 image of the -inf score's key under _intkey_i32 (the invalid-row
+# sentinel: the wrapper maps masked rows to score -inf, which must sort
+# LAST in descending-score order => LARGEST int32 key).
+IKEY_NEG_INF = 0x7F800000
+
+
+def _intkey_i32(s):
+    """Signed-int32 keys, same order as :func:`_intkey_u32` (the uint32
+    key xor 0x80000000 maps unsigned order onto signed order) — the
+    in-kernel bitonic network compares plain int32."""
+    return jax.lax.bitcast_convert_type(
+        _intkey_u32(s) ^ jnp.uint32(0x80000000), jnp.int32)
+
+
+def _bitonic6_kernel(rows, key_ref, idx_ref, c0_ref, c1_ref, c2_ref, c3_ref,
+                     key_o, idx_o, c0_o, c1_o, c2_o, c3_o):
+    """Per-stream bitonic sort, ASCENDING by (key, idx) — keys are the
+    complemented intkeys, so ascending == score-descending with the
+    ascending-index tie-break of the stable argsort — carrying the four
+    coordinate planes through the same exchanges.
+
+    Layout: flat element i = row * 128 + lane of a (rows, 128) block.
+    Compare-exchange partner i ^ j is materialized with two rotates
+    (lane rotates for j < 128, sublane rotates above) selected by bit j
+    of i — TPU rotate is 32-bit-wide, which every operand here is.
+    (key, idx) pairs are unique, so the network is deterministic and its
+    result equals the stable sort."""
+    key = key_ref[0]
+    idx = idx_ref[0]
+    cs = [c0_ref[0], c1_ref[0], c2_ref[0], c3_ref[0]]
+    lanes = key.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, key.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, key.shape, 0)
+    flat = row * lanes + lane
+    n = rows * lanes
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            if j < lanes:
+                lo_bit = (lane & j) == 0
+                ax, sh = 1, j
+            else:
+                sh = j // lanes
+                lo_bit = (row & sh) == 0
+                ax = 0
+
+            def partner(x, lo_bit=lo_bit, ax=ax, sh=sh):
+                return jnp.where(lo_bit, jnp.roll(x, -sh, axis=ax),
+                                 jnp.roll(x, sh, axis=ax))
+
+            pk = partner(key)
+            pidx = partner(idx)
+            pcs = [partner(c) for c in cs]
+            # Standard network: within a 2k block, ascending iff bit k of
+            # i is clear; the LOWER pair index takes the smaller element
+            # in ascending blocks. Computed symmetrically on both sides.
+            asc = (flat & k) == 0
+            own_first = (key < pk) | ((key == pk) & (idx < pidx))
+            take_own = jnp.where(asc == lo_bit, own_first, ~own_first)
+            key = jnp.where(take_own, key, pk)
+            idx = jnp.where(take_own, idx, pidx)
+            cs = [jnp.where(take_own, c, pc) for c, pc in zip(cs, pcs)]
+            j //= 2
+        k *= 2
+    key_o[0] = key
+    idx_o[0] = idx
+    for ref, c in zip((c0_o, c1_o, c2_o, c3_o), cs):
+        ref[0] = c
+
+
+def _bitonic_sort6(key, idx, coords, interpret: bool = False):
+    """Sort ``key/idx [B, n] int32`` ascending per stream, permuting the
+    four ``coords [B, n, 4]`` planes along. n must be a power of two and a
+    multiple of 128. Returns (skey, sidx, sx1, sy1, sx2, sy2)."""
+    bsz, n = key.shape
+    assert n % 128 == 0 and (n & (n - 1)) == 0, n
+    rows = n // 128
+
+    def resh(a):
+        return a.reshape(bsz, rows, 128)
+
+    args = [resh(key), resh(idx)] + [resh(coords[..., i]) for i in range(4)]
+    spec = pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    outs = pl.pallas_call(
+        partial(_bitonic6_kernel, rows),
+        grid=(bsz,),
+        in_specs=[spec] * 6,
+        out_specs=[spec] * 6,
+        out_shape=[jax.ShapeDtypeStruct((bsz, rows, 128), a.dtype)
+                   for a in args],
+        interpret=interpret,
+    )(*args)
+    return [o.reshape(bsz, n) for o in outs]
 
 
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
@@ -181,12 +284,72 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     (22.3-23.6 Mboxes/s vs a 46 Mboxes/s sorted-input kernel-only lower
     bound — the argsort dominates the wrapper); loaded-machine runs
     exaggerate the differences wildly (DESIGN.md finding 20).
+
+    ``order_mode='bitonic'``: the round-5 path — ordering happens INSIDE
+    a Pallas kernel (a bitonic network over (intkey, index) pairs that
+    carries the coordinate planes through the same exchanges), so the
+    XLA sort AND the sorted gathers disappear; only the unpermute stays
+    outside. Same keep sets and order contract as 'intkey'/'argsort'
+    (pinned by tests + tpu_checks); pads N to a power of two for the
+    network (free at the 4096 serving shape).
     """
     bsz, n = scores.shape
     if valid is None:
         valid = jnp.ones((bsz, n), bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
     s = jnp.where(valid, scores, neg_inf)
+
+    if order_mode == "bitonic" and s.dtype != jnp.float64:
+        # In-kernel ordering (DESIGN finding 23: the XLA-side sort +
+        # gathers are ~half the 16x4096 NMS program; an in-VMEM ordering
+        # is the only remaining lever toward the kernel-only bound). The
+        # bitonic network sorts (intkey, index) pairs and carries the four
+        # coordinate planes, so the sorted gathers disappear too; only the
+        # final unpermute stays in XLA. float64 falls back below (keys are
+        # f32-wide, same contract as 'intkey').
+        n_pad = max(tile, 128, 1 << (n - 1).bit_length())
+        assert n_pad % tile == 0, (n_pad, tile)  # tile must be a power of 2
+        num_tiles = n_pad // tile
+        pad = n_pad - n
+        s_p = jnp.pad(s.astype(jnp.float32), ((0, 0), (0, pad)),
+                      constant_values=-jnp.inf)
+        boxes_p = jnp.pad(boxes.astype(jnp.float32),
+                          ((0, 0), (0, pad), (0, 0)))
+        iota = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32),
+                                (bsz, n_pad))
+        skey, order, sx1, sy1, sx2, sy2 = _bitonic_sort6(
+            _intkey_i32(s_p), iota, boxes_p, interpret=interpret)
+        svalid_f = (skey != IKEY_NEG_INF).astype(jnp.float32)
+        lane = jnp.stack([sx1, sy1, sx2, sy2], axis=1)  # (B, 4, n_pad)
+        keep_rows = pl.pallas_call(
+            partial(_nms_kernel_nosub, offset, tile),
+            grid=(bsz, num_tiles),
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((1, 4, n_pad), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, n_pad), lambda b, i: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((1, num_tiles, tile),
+                                   lambda b, i: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((bsz, num_tiles, tile),
+                                           jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(thresh, jnp.float32).reshape(1, 1), lane,
+          svalid_f.reshape(bsz, 1, n_pad))
+        keep_sorted = keep_rows.reshape(bsz, n_pad) > 0.0
+        if unpermute == "gather":
+            iota2 = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32),
+                                     order.shape)
+            _, rank = jax.lax.sort((order, iota2), dimension=1, num_keys=1,
+                                   is_stable=False)
+            return jnp.take_along_axis(keep_sorted, rank, axis=1)[:, :n]
+        out = jnp.zeros((bsz, n_pad), bool)
+        return jax.vmap(lambda o, idx, k: o.at[idx].set(k))(
+            out, order, keep_sorted)[:, :n]
+
     order = _descending_order(s, order_mode)
     svalid = jnp.take_along_axis(valid, order, axis=1)
 

@@ -98,6 +98,60 @@ def test_roi_align_pallas_matches_reference():
     np.testing.assert_allclose(got, want, atol=1e-4)
 
 
+def test_roi_align_pallas_big_matches_reference():
+    """Tiled large-map kernel == XLA roi_align across multi-tile grids in
+    every dimension (c-tiles, h-tiles incl. a padded tail, roi-tiles incl.
+    padding rois) and under vmap (the search's per-image batching)."""
+    import jax
+
+    from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas_big
+    from aznet_tpu.ops.roi_pool import roi_align
+
+    rng = np.random.RandomState(9)
+    h, w, c = 21, 26, 24  # h pads 21 -> 24 at tile_h=8; c tiles 3x
+    feat = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    r = 21  # pads to 2 roi tiles of 16
+    x1 = rng.uniform(0, (w - 3) * 16, r)
+    y1 = rng.uniform(0, (h - 3) * 16, r)
+    rois = np.stack([x1, y1, x1 + rng.uniform(16, 250, r),
+                     y1 + rng.uniform(16, 250, r)], 1).astype(np.float32)
+    got = np.asarray(roi_align_pallas_big(
+        feat, jnp.asarray(rois), 1 / 16.0, 7, tile_r=16, tile_h=8,
+        tile_c=8, interpret=True))
+    want = np.asarray(roi_align(feat, jnp.asarray(rois), 1 / 16.0, 7,
+                                w_first=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+    # vmap (leading batch grid dim) + the single-tile degenerate grid.
+    feats = jnp.stack([feat, feat * 0.5 + 1.0])
+    roisb = jnp.asarray(np.stack([rois, rois + 8.0]))
+    gotb = np.asarray(jax.vmap(
+        lambda f, rr: roi_align_pallas_big(f, rr, 1 / 16.0, 7, tile_r=32,
+                                           tile_h=24, tile_c=24,
+                                           interpret=True))(feats, roisb))
+    wantb = np.asarray(jax.vmap(
+        lambda f, rr: roi_align(f, rr, 1 / 16.0, 7, w_first=True))(
+            feats, roisb))
+    np.testing.assert_allclose(gotb, wantb, atol=1e-4, rtol=1e-4)
+
+
+def test_roi_align_pallas_dispatches_big_maps():
+    """The align_pallas entry point must route HBM-scale maps to the tiled
+    kernel (the whole-map kernel would blow the VMEM budget there)."""
+    from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas
+    from aznet_tpu.ops.roi_pool import roi_align
+
+    rng = np.random.RandomState(3)
+    h, w, c = 34, 60, 512  # 4.2 MB f32 -> big-map path
+    feat = jnp.asarray(rng.randn(h, w, c).astype(np.float32))
+    rois = np.array([[0, 0, 900, 500], [64, 32, 400, 300]], np.float32)
+    got = np.asarray(roi_align_pallas(feat, jnp.asarray(rois), 1 / 16.0, 7,
+                                      interpret=True))
+    want = np.asarray(roi_align(feat, jnp.asarray(rois), 1 / 16.0, 7,
+                                w_first=True))
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
+
+
 def test_fused_conv1_pool_matches_xla():
     import flax.linen as nn
     from aznet_tpu.ops.pallas.conv1_kernel import fused_conv1_pool
@@ -289,3 +343,60 @@ def test_conv3x3_int8_chain_exit_and_vmap():
         xx[None], 1.0, w9, sw, jnp.asarray(bias), h, w, s_out=None,
         out_dtype=jnp.float32, t_rows=8, interpret=True)[0])(xh)
     np.testing.assert_array_equal(np.asarray(outv[:, :h]), ref)
+
+
+def test_bitonic_sort6_equals_stable_argsort():
+    """The in-kernel bitonic network over (intkey, idx) must reproduce the
+    stable score-descending argsort exactly — including signed-zero /
+    subnormal ties and -inf invalid rows — and carry the coordinate
+    planes through the same permutation."""
+    from aznet_tpu.ops.pallas.nms_kernel import (_bitonic_sort6, _intkey_i32)
+
+    rng = np.random.RandomState(5)
+    for bsz, n in ((3, 128), (2, 256), (1, 1024)):
+        s = np.floor(rng.rand(bsz, n) * 8).astype(np.float32) / 8.0
+        s[0, : n // 8] = -0.0
+        s[0, n // 8 : n // 4] = 1e-40  # subnormal: ties with 0.0 under FTZ
+        s[:, -5:] = -np.inf  # invalid rows sort last
+        coords = rng.rand(bsz, n, 4).astype(np.float32)
+        iota = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32), (bsz, n))
+        outs = _bitonic_sort6(_intkey_i32(jnp.asarray(s)), iota,
+                              jnp.asarray(coords), interpret=True)
+        skey, sidx = np.asarray(outs[0]), np.asarray(outs[1])
+        scs = [np.asarray(o) for o in outs[2:]]
+        # FTZ the subnormals the way the intkey does before the oracle.
+        s_ftz = np.where(np.abs(s) < 1.2e-38, 0.0, s)
+        want = np.argsort(-s_ftz, axis=1, kind="stable")
+        np.testing.assert_array_equal(sidx, want)
+        for k in range(4):
+            np.testing.assert_array_equal(
+                scs[k], np.take_along_axis(coords[..., k], want, axis=1))
+        assert (np.diff(skey, axis=1) >= 0).all()  # ascending keys
+
+
+def test_nms_bitonic_keep_equals_argsort_path():
+    """order_mode='bitonic' == the argsort wrapper: same keep masks in
+    original order, on tie-heavy scores and non-power-of-two N."""
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
+
+    rng = np.random.RandomState(8)
+    for bsz, n, tile in ((2, 512, 256), (2, 700, 128), (1, 1024, 256)):
+        xy = rng.uniform(0, 900, (bsz, n, 2)).astype(np.float32)
+        wh = rng.uniform(5, 200, (bsz, n, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        s = np.floor(rng.rand(bsz, n) * 16).astype(np.float32) / 16.0
+        s[0, :40] = -0.0
+        valid = rng.rand(bsz, n) > 0.1
+        got = np.asarray(nms_pallas_batched(
+            boxes, jnp.asarray(s), 0.5, valid=jnp.asarray(valid),
+            tile=tile, order_mode="bitonic", interpret=True))
+        want = np.asarray(nms_pallas_batched(
+            boxes, jnp.asarray(s), 0.5, valid=jnp.asarray(valid),
+            tile=tile, order_mode="argsort", interpret=True))
+        np.testing.assert_array_equal(got, want)
+        # gather-unpermute flavor too
+        got_g = np.asarray(nms_pallas_batched(
+            boxes, jnp.asarray(s), 0.5, valid=jnp.asarray(valid),
+            tile=tile, order_mode="bitonic", unpermute="gather",
+            interpret=True))
+        np.testing.assert_array_equal(got_g, want)

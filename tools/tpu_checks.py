@@ -137,6 +137,42 @@ def check_roi_align():
     return {"ok": err < 1e-3, "max_rel_err": err}
 
 
+def check_roi_align_big():
+    """Tiled large-map roi align (roi_align_pallas_big) vs the XLA w-first
+    separable align at the REAL config-5 search-head shape: 68x120x1024
+    bf16 conv4 map, 128-roi frontier level. Multi-tile in every grid dim
+    (8 c-tiles x 3 h-tiles with a padded tail x 4 roi-tiles); tolerance =
+    bf16 compute dtype (both paths stage bf16 between contractions, in
+    different reduction orders)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.roi_pool import roi_align
+    from aznet_tpu.ops.pallas.roi_kernel import roi_align_pallas_big
+
+    rng = np.random.RandomState(17)
+    feat = jnp.asarray(rng.randn(68, 120, 1024).astype(np.float32),
+                       jnp.bfloat16)
+    n = 128
+    rois = np.zeros((n, 4), np.float32)
+    rois[:, 0] = rng.uniform(0, 1700, n)
+    rois[:, 1] = rng.uniform(0, 900, n)
+    rois[:, 2] = rois[:, 0] + rng.uniform(32, 1900 - rois[:, 0].max(), n)
+    rois[:, 3] = rois[:, 1] + rng.uniform(32, 1080 - rois[:, 1].max(), n)
+    rois = jnp.asarray(rois)
+    got = np.asarray(jax.jit(
+        lambda f, r: roi_align_pallas_big(f, r, 1.0 / 16.0))(feat, rois)
+    ).astype(np.float32)
+    ref = np.asarray(jax.jit(
+        lambda f, r: roi_align(f, r, 1.0 / 16.0, w_first=True))(feat, rois)
+    ).astype(np.float32)
+    err = float(np.abs(got - ref).max() / max(np.abs(ref).max(), 1e-6))
+    cos = float((got * ref).sum()
+                / max(np.linalg.norm(got) * np.linalg.norm(ref), 1e-9))
+    return {"ok": err < 2e-2 and cos > 0.9999, "max_rel_err": err,
+            "cosine": cos}
+
+
 def check_roi_align_int8():
     """int8-MXU roi align vs the f32 separable align on the same
     (dequantized) features: error bound = weight-quant + bf16-rows +
@@ -345,6 +381,7 @@ CHECKS = {
     "nms_intkey_vs_argsort_order": check_nms_intkey,
     "iou_pallas_vs_jnp": check_iou,
     "roi_align_pallas_vs_xla": check_roi_align,
+    "roi_align_big_vs_xla_wfirst": check_roi_align_big,
     "roi_align_int8_vs_f32": check_roi_align_int8,
     "int8_conv_vs_f32_exact": check_int8_conv,
     "int8_conv_pallas_strip_vs_f32_exact": check_int8_conv_pallas,
