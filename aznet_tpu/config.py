@@ -206,6 +206,13 @@ class ModelConfig:
     # depth on the 3-channel input. Same checkpoints (in-jit re-layout);
     # auto-falls-back on odd input sizes. vgg16 ignores this.
     STEM_S2D: bool = True
+    # VGG conv1_1 as the exact stride-1 space-to-depth rewrite
+    # (models/vgg.py::conv1_1_s2d): pack the input 2x2, one 3x3 conv
+    # emits all four output phases, depth-to-space back — term-identical
+    # math, K=12 contraction at quarter spatial size instead of the
+    # MXU-starved K=3 at full 608x800. Same checkpoints (in-jit
+    # re-layout); no-op on odd input sizes or non-vgg backbones.
+    CONV1_S2D: bool = False
     # Inference-only: fuse the VGG conv1 block (conv1_1+conv1_2+pool1) into
     # one Pallas kernel on TPU. Same params/checkpoints; training paths must
     # leave this off (the kernel has no VJP).

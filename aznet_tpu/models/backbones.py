@@ -38,7 +38,8 @@ def get_backbone(model_cfg: ModelConfig):
                    int8_mode=model_cfg.COMPUTE_DTYPE == "int8",
                    int8_scales=tuple(model_cfg.INT8_SCALES),
                    int8_backend=model_cfg.INT8_BACKEND,
-                   int8_chain_from=model_cfg.INT8_CHAIN_FROM)
+                   int8_chain_from=model_cfg.INT8_CHAIN_FROM,
+                   conv1_s2d=model_cfg.CONV1_S2D)
     if cls is ResNet50Trunk:
         # Int8 bottleneck 1x1 GEMMs (models/resnet.py docstring); the
         # stem/3x3s stay bf16. Scales from calibrate_trunk_int8_resnet.

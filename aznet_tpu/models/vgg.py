@@ -27,6 +27,59 @@ VGG16_LAYOUT = (
 )
 
 
+def conv1_1_s2d(x, kernel, bias, dtype):
+    """conv1_1 (3x3/s1, 3->64) as an EXACT space-to-depth-2 rewrite.
+
+    The stride-1 analog of the ResNet stem fix (models/resnet.py::StemConv,
+    DESIGN.md finding 25): a 3-channel contraction starves the 128-lane MXU
+    (K = 3 per tap), and conv1_1 runs at full 608x800 resolution — finding
+    12 measured the conv1 block at ~35 TF/s, ~35% of the bf16 trunk.
+    Rewrite: pack the input 2x2 -> [H/2, W/2, 12], run ONE 3x3 stride-1
+    conv producing all four output phases ([H/2, W/2, 4*64]), then
+    depth-to-space back. Term-identical math: output phase p's tap
+    dy = 2u + a - p for packed-row offset u and intra-cell row a, so each
+    original weight lands in exactly one packed-kernel slot and every other
+    slot is zero; zero-padding the packed borders reproduces SAME padding
+    (the extra original rows it implies only ever multiply zero weights).
+    4x the MACs (3/4 zeros) but K = 12 per tap at quarter spatial size —
+    fewer MXU passes when K < the 128-lane tile either way.
+
+    Parameters stay the nn.Conv layout ``kernel [3, 3, 3, 64]`` /
+    ``bias [64]`` — checkpoints and Caffe conversion untouched; the
+    re-layout happens in-jit. Requires even H and W (608x800 canvases).
+
+    Reference equivalent: none — the reference's conv1_1 is cuDNN's
+    problem (SURVEY.md §2.1; mount empty). TPU-new, exact.
+    """
+    b, h, w, c = x.shape
+    co = kernel.shape[-1]
+    z = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    z = z.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+    k4 = jnp.zeros((3, 3, 2, 2, c, 2, 2, co), kernel.dtype)
+    for u in (-1, 0, 1):
+        for a in (0, 1):
+            for p in (0, 1):
+                dy = 2 * u + a - p
+                if not -1 <= dy <= 1:
+                    continue
+                for v in (-1, 0, 1):
+                    for bb in (0, 1):
+                        for q in (0, 1):
+                            dx = 2 * v + bb - q
+                            if not -1 <= dx <= 1:
+                                continue
+                            k4 = k4.at[u + 1, v + 1, a, bb, :, p, q, :].set(
+                                kernel[dy + 1, dx + 1])
+    k4 = k4.reshape(3, 3, 4 * c, 4 * co)
+    y = jax.lax.conv_general_dilated(
+        z.astype(dtype), k4.astype(dtype), (1, 1), ((1, 1), (1, 1)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.float32)
+    y = jnp.maximum(y + jnp.tile(bias, 4), 0.0).astype(dtype)
+    y = y.reshape(b, h // 2, w // 2, 2, 2, co)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, h, w, co)
+
+
 class VGG16Trunk(nn.Module):
     """Input [..., H, W, 3] (preprocessed BGR) -> [..., H/16, W/16, 512*width]."""
 
@@ -59,6 +112,12 @@ class VGG16Trunk(nn.Module):
     # First chain layer ("conv2_2" | "conv1_2"); see config.py
     # MODEL.INT8_CHAIN_FROM.
     int8_chain_from: str = "conv2_2"
+
+    # conv1_1 as the exact s2d-2 rewrite (module docstring of
+    # :func:`conv1_1_s2d`); applies to both the bf16 and int8-prefix paths
+    # when H/W are even. Identical math/checkpoints; A/B knob
+    # cfg.MODEL.CONV1_S2D / bench_trunk --variants bf16_s2d.
+    conv1_s2d: bool = False
 
     feat_stride: int = 16
 
@@ -148,12 +207,17 @@ class VGG16Trunk(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
                 continue
             if name in prefix:
-                k = p[name]["kernel"].astype(self.dtype)
-                y = jax.lax.conv_general_dilated(
-                    x, k, (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                    preferred_element_type=jnp.float32)
-                y = jnp.maximum(y + p[name]["bias"], 0.0)
+                if (name == "conv1_1" and self.conv1_s2d
+                        and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
+                    y = conv1_1_s2d(x, p[name]["kernel"], p[name]["bias"],
+                                    self.dtype)
+                else:
+                    k = p[name]["kernel"].astype(self.dtype)
+                    y = jax.lax.conv_general_dilated(
+                        x, k, (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                        preferred_element_type=jnp.float32)
+                    y = jnp.maximum(y + p[name]["bias"], 0.0)
                 if name == prefix[-1]:  # quantize into the int8 chain
                     s_x = scales[name]
                     x = quantize_acts(y, s_x)
@@ -244,6 +308,15 @@ class VGG16Trunk(nn.Module):
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
             else:
                 ch = max(int(ch * self.width), 8)
+                if (name == "conv1_1" and self.conv1_s2d
+                        and not self.is_initializing()
+                        and x.shape[-3] % 2 == 0 and x.shape[-2] % 2 == 0):
+                    p = self.variables["params"]["conv1_1"]
+                    squeeze = x.ndim == 3
+                    xb = x[None] if squeeze else x
+                    xb = conv1_1_s2d(xb, p["kernel"], p["bias"], self.dtype)
+                    x = xb[0] if squeeze else xb
+                    continue
                 x = nn.Conv(ch, (3, 3), padding="SAME", name=name, dtype=self.dtype)(x)
                 x = nn.relu(x)
         return x

@@ -268,3 +268,38 @@ def test_resnet_trunk_s2d_matches_plain():
     a = np.asarray(t_plain.apply(params, x))
     b = np.asarray(t_s2d.apply(params, x))
     np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
+def test_vgg_conv1_s2d_exact():
+    """conv1_1_s2d == the plain 3x3/s1 conv + bias + ReLU, term-identical
+    (same [3,3,3,64]-layout params, in-jit re-layout). Covers interior and
+    all four borders (the SAME-padding equivalence), plus the full-trunk
+    flag wiring and the odd-size fallback."""
+    from aznet_tpu.models.vgg import VGG16Trunk, conv1_1_s2d
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.uniform(-2, 2, (2, 12, 16, 3)).astype(np.float32))
+    kernel = jnp.asarray(rng.randn(3, 3, 3, 8).astype(np.float32))
+    bias = jnp.asarray(rng.randn(8).astype(np.float32))
+    ref = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    ref = np.maximum(np.asarray(ref) + np.asarray(bias), 0.0)
+    got = np.asarray(conv1_1_s2d(x, kernel, bias, jnp.float32))
+    assert got.shape == ref.shape
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
+
+    # trunk wiring: conv1_s2d=True == default, post-init apply, even dims
+    t_plain = VGG16Trunk(dtype=jnp.float32, width=0.125)
+    t_s2d = VGG16Trunk(dtype=jnp.float32, width=0.125, conv1_s2d=True)
+    xt = jnp.asarray(rng.uniform(-1, 1, (1, 32, 48, 3)).astype(np.float32))
+    params = t_plain.init(jax.random.PRNGKey(0), xt)
+    a = np.asarray(t_plain.apply(params, xt))
+    b = np.asarray(t_s2d.apply(params, xt))
+    np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # odd input: the flag is a no-op (falls back to the plain conv)
+    x_odd = jnp.asarray(rng.uniform(-1, 1, (1, 31, 48, 3)).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(t_s2d.apply(params, x_odd)),
+                               np.asarray(t_plain.apply(params, x_odd)),
+                               rtol=1e-5, atol=1e-5)

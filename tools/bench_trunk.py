@@ -56,6 +56,10 @@ def main():
                             int8_backend="pallas_strip"),
         "xla_int8": VGG16Trunk(int8_mode=True, int8_scales=scales,
                                int8_backend="xla"),
+        # conv1_1 as the exact s2d-2 rewrite (models/vgg.py::conv1_1_s2d)
+        "bf16_s2d": VGG16Trunk(conv1_s2d=True),
+        "chain_s2d": VGG16Trunk(int8_mode=True, int8_scales=scales,
+                                conv1_s2d=True),
     }
     params = trunks["bf16"].init(jax.random.PRNGKey(0), x[:1, :64, :64])
 
