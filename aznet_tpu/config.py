@@ -115,6 +115,11 @@ class TrainConfig:
     SNAPSHOT_PREFIX: str = "aznet"
     # Gradient clip (TPU-new; 0 disables).
     GRAD_CLIP: float = 0.0
+    # Rematerialize the trunk forward during backward (jax.checkpoint on
+    # the features pass): drops the 13-conv activation stack from HBM —
+    # the batch-size limiter at 608x800 — for one extra trunk forward
+    # per step. TPU-new; measured A/B in DESIGN.md finding 26.
+    REMAT_TRUNK: bool = False
     # Parameter-name prefixes whose gradients are zeroed (the reference sets
     # lr_mult=0 on conv1/conv2 when fine-tuning from ImageNet weights). Off
     # by default: from-scratch training must update everything.

@@ -291,12 +291,16 @@ def roi_align_pallas(feat, rois, spatial_scale: float, pool_size: int = 7,
                      tile_r: int = 16, interpret: bool = False):
     """Fused ROI align: feat [H, W, C], rois [R, 4] -> [R, P, P, C].
 
-    Dispatches to :func:`roi_align_pallas_big` when the map cannot be
-    VMEM-resident (> 4 MB at compute dtype — the whole-map kernel needs
-    feat + the [tile_r, P, W, C] rows intermediate + weights under the
-    ~16 MB budget)."""
+    Dispatches to :func:`roi_align_pallas_big` when the whole-map kernel's
+    VMEM footprint — feat + the [tile_r, P, W, C] rows intermediate + the
+    [tile_r, P, P, C] out block (all at compute dtype) — would exceed
+    ~12 MB of the 16 MB budget (a flat feat-size cutoff missed the C=1024
+    regime: a 3.9 MB 38x50x1024 map OOM'd on its 11.5 MB rows tile)."""
     h, w, c = feat.shape
-    if h * w * c * jnp.dtype(feat.dtype).itemsize > 4 * 1024 * 1024:
+    itemsize = jnp.dtype(feat.dtype).itemsize
+    footprint = (h * w * c + tile_r * pool_size * w * c
+                 + tile_r * pool_size * pool_size * c) * itemsize
+    if footprint > 12 * 1024 * 1024:
         return roi_align_pallas_big(feat, rois, spatial_scale, pool_size,
                                     sampling, offset, interpret=interpret)
     r = rois.shape[0]

@@ -210,7 +210,8 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
                                 canvas, mined_by_entry=mined)
 
     step_fn = make_az_train_step(
-        model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT, cfg.TRAIN.ADJ_POS_WEIGHT))
+        model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT, cfg.TRAIN.ADJ_POS_WEIGHT),
+        remat_trunk=cfg.TRAIN.REMAT_TRUNK)
     state = _run_loop(state, step_fn, _Prefetcher(make_batch),
                       cfg, max_iters, output_dir, "az", mesh=mesh,
                       interval_hook=hook)

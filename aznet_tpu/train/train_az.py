@@ -35,14 +35,22 @@ class TrainState(train_state.TrainState):
     pass
 
 
-def az_loss(model, params, batch, dropout_rng=None, pos_weights=(1.0, 1.0)):
+def az_loss(model, params, batch, dropout_rng=None, pos_weights=(1.0, 1.0),
+            remat_trunk=False):
     """Composite AZ loss. Returns (loss, metrics).
 
     ``pos_weights``: (zoom, adjacency) positive-class CE weights
     (cfg.TRAIN.ZOOM_POS_WEIGHT / ADJ_POS_WEIGHT; 1.0 = reference parity).
+    ``remat_trunk`` (cfg.TRAIN.REMAT_TRUNK): rematerialize the trunk
+    forward during backward (jax.checkpoint) — drops the 13-conv
+    activation stack from HBM (the batch-size limiter at 608x800) for
+    one extra trunk forward per step.
     """
     train = dropout_rng is not None
-    feats = model.apply(params, batch["images"], method="features")
+    feats_fn = lambda p, im: model.apply(p, im, method="features")
+    if remat_trunk:
+        feats_fn = jax.checkpoint(feats_fn)
+    feats = feats_fn(params, batch["images"])
 
     if train:
         # Per-image dropout rngs: split over the batch, else every image in
@@ -92,13 +100,14 @@ def make_az_train_state(cfg: Config, model, rng, image_hw=(64, 64)) -> TrainStat
     return TrainState.create(apply_fn=model.apply, params=params, tx=tx)
 
 
-def make_az_train_step(model, pos_weights=(1.0, 1.0)):
+def make_az_train_step(model, pos_weights=(1.0, 1.0), remat_trunk=False):
     """Pure ``(state, batch, rng) -> (state, metrics)``; jit/shard at will."""
 
     def step(state: TrainState, batch, rng):
         dropout_rng = jax.random.fold_in(rng, state.step)
         grad_fn = jax.value_and_grad(
-            lambda p: az_loss(model, p, batch, dropout_rng, pos_weights),
+            lambda p: az_loss(model, p, batch, dropout_rng, pos_weights,
+                              remat_trunk),
             has_aux=True
         )
         (loss, metrics), grads = grad_fn(state.params)

@@ -181,3 +181,22 @@ def test_frozen_prefixes_exactly_frozen_under_weight_decay():
     np.testing.assert_array_equal(np.asarray(trunk["bias"]), 1.0)
     # unfrozen params did move
     assert not np.allclose(np.asarray(p["params"]["head"]["kernel"]), 1.0)
+
+
+def test_az_remat_trunk_same_step():
+    """TRAIN.REMAT_TRUNK changes memory scheduling, not math: one step with
+    remat_trunk=True produces the same params/metrics as without."""
+    model = AZNet(model_cfg=CFG.MODEL)
+    state = make_az_train_state(CFG, model, jax.random.PRNGKey(0))
+    batch = _az_batch(np.random.RandomState(3))
+    rng = jax.random.PRNGKey(7)
+    s_a, m_a = jax.jit(make_az_train_step(model))(state, batch, rng)
+    s_b, m_b = jax.jit(make_az_train_step(model, remat_trunk=True))(
+        state, batch, rng)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]),
+                               rtol=1e-6)
+    flat_a = jax.tree_util.tree_leaves(s_a.params)
+    flat_b = jax.tree_util.tree_leaves(s_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)

@@ -44,6 +44,11 @@ def parse_args():
     p.add_argument("--cpu", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny smallnet config (CPU sanity)")
+    p.add_argument("--ims-per-batch", type=int, default=0,
+                   help="override TRAIN.IMS_PER_BATCH (0 = cfg value); "
+                        "the MFU-vs-batch lever, DESIGN.md finding 26")
+    p.add_argument("--remat", action="store_true",
+                   help="set TRAIN.REMAT_TRUNK (trunk rematerialization)")
     return p.parse_args()
 
 
@@ -80,6 +85,11 @@ def main():
         args.canvas = (64, 96)
     if args.set_cfgs:
         cfg = cfg_from_list(cfg, args.set_cfgs)
+    if args.ims_per_batch:
+        cfg = cfg_from_list(cfg, ["TRAIN.IMS_PER_BATCH",
+                                  str(args.ims_per_batch)])
+    if args.remat:
+        cfg = cfg_from_list(cfg, ["TRAIN.REMAT_TRUNK", "True"])
 
     canvas = tuple(args.canvas)
     rng = np.random.RandomState(0)
@@ -111,7 +121,8 @@ def main():
                                     image_hw=canvas)
         step = make_az_train_step(
             model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT,
-                                cfg.TRAIN.ADJ_POS_WEIGHT))
+                                cfg.TRAIN.ADJ_POS_WEIGHT),
+            remat_trunk=cfg.TRAIN.REMAT_TRUNK)
     else:
         model = FRCNN(model_cfg=cfg.MODEL)
         state = make_frcnn_train_state(cfg, model, jax.random.PRNGKey(0),
@@ -165,6 +176,7 @@ def main():
         "unit": "ms/step",
         "images_per_sec": round(b / dt, 2),
         "batch": b,
+        "remat": bool(cfg.TRAIN.REMAT_TRUNK),
         "canvas": list(canvas),
         "host_batch_ms": round(host_ms, 2),
         # Fraction of host minibatch work hidden behind one device step
