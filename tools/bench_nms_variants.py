@@ -96,6 +96,15 @@ def main():
         "intkey+gatherup": lambda b, s: nk.nms_pallas_batched(
             b, s, 0.5, tile=tile, derive_sub=True, lane_gather=False,
             unpermute="gather", order_mode="intkey"),
+        # Round-5: ordering INSIDE the kernel (bitonic network over
+        # (intkey, idx) carrying the coordinate planes) — the XLA sort
+        # and sorted gathers disappear; only the unpermute stays outside.
+        "bitonic": lambda b, s: nk.nms_pallas_batched(
+            b, s, 0.5, tile=tile, unpermute="scatter",
+            order_mode="bitonic"),
+        "bitonic+gatherup": lambda b, s: nk.nms_pallas_batched(
+            b, s, 0.5, tile=tile, unpermute="gather",
+            order_mode="bitonic"),
         "kernel_only": kernel_only,
     }
 

@@ -376,9 +376,45 @@ def check_search():
             "score_err": s_err, "box_err": b_err}
 
 
+def check_nms_bitonic():
+    """order_mode='bitonic' (the round-5 in-kernel bitonic ordering — the
+    XLA sort + sorted gathers move inside the Pallas kernel) must give the
+    SAME keep masks as the stable-argsort path on hardware, on the same
+    tie-heavy stream set (signed zeros, subnormals, quantized ties) plus a
+    non-power-of-two N that exercises the pad-to-power-of-two path."""
+    import jax
+    import jax.numpy as jnp
+
+    from aznet_tpu.ops.pallas.nms_kernel import nms_pallas_batched
+
+    rng = np.random.RandomState(29)
+    out = {}
+    for n in (1024, 3000):
+        bsz = 4
+        xy = rng.uniform(0, 1200, (bsz, n, 2)).astype(np.float32)
+        wh = rng.uniform(5, 250, (bsz, n, 2)).astype(np.float32)
+        boxes = jnp.asarray(np.concatenate([xy, xy + wh], -1))
+        scores_np = np.floor(rng.rand(bsz, n) * 16).astype(np.float32) / 16.0
+        scores_np[0, :32] = -0.0
+        scores_np[1, :16] = 1e-40
+        scores_np[1, 16:32] = -1e-40
+        scores_np[1, 32:48] = 0.0
+        scores = jnp.asarray(scores_np)
+        run = jax.jit(
+            lambda b, s, m: nms_pallas_batched(b, s, 0.5, order_mode=m),
+            static_argnums=2)
+        got = np.asarray(run(boxes, scores, "bitonic"))
+        ref = np.asarray(run(boxes, scores, "argsort"))
+        out[f"mismatch_n{n}"] = int((got != ref).sum())
+        out[f"kept_n{n}"] = int(got.sum())
+    out["ok"] = all(v == 0 for k, v in out.items() if k.startswith("mismatch"))
+    return out
+
+
 CHECKS = {
     "nms_pallas_vs_greedy_oracle": check_nms,
     "nms_intkey_vs_argsort_order": check_nms_intkey,
+    "nms_bitonic_vs_argsort_order": check_nms_bitonic,
     "iou_pallas_vs_jnp": check_iou,
     "roi_align_pallas_vs_xla": check_roi_align,
     "roi_align_big_vs_xla_wfirst": check_roi_align_big,
