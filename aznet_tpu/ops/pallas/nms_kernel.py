@@ -227,7 +227,11 @@ def _bitonic6_kernel(rows, key_ref, idx_ref, c0_ref, c1_ref, c2_ref, c3_ref,
             # in ascending blocks. Computed symmetrically on both sides.
             asc = (flat & k) == 0
             own_first = (key < pk) | ((key == pk) & (idx < pidx))
-            take_own = jnp.where(asc == lo_bit, own_first, ~own_first)
+            # take_own = own_first iff asc == lo_bit, else its negation:
+            # pure i1 XOR chain. (A bool-valued jnp.where here lowered to
+            # an i8->i1 arith.trunci that Mosaic rejects on hardware —
+            # caught by tpu_checks nms_bitonic_vs_argsort_order, r5.)
+            take_own = own_first ^ asc ^ lo_bit
             key = jnp.where(take_own, key, pk)
             idx = jnp.where(take_own, idx, pidx)
             cs = [jnp.where(take_own, c, pc) for c, pc in zip(cs, pcs)]

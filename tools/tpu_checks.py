@@ -432,6 +432,9 @@ def main():
     p.add_argument("--out", default=None, help="write JSON here")
     p.add_argument("--allow-cpu", action="store_true",
                    help="run on CPU (interpret-mode kernels) without failing")
+    p.add_argument("--only", default=None,
+                   help="comma list of check names to run (iterate on one "
+                        "kernel without paying the full compile sweep)")
     args = p.parse_args()
 
     import jax
@@ -444,7 +447,14 @@ def main():
     out = {"device": str(jax.devices()[0]), "platform": platform,
            "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
            "checks": {}}
-    for name, fn in CHECKS.items():
+    checks = CHECKS
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(CHECKS)
+        if unknown:
+            print(f"unknown checks: {sorted(unknown)}"); sys.exit(2)
+        checks = {k: v for k, v in CHECKS.items() if k in keep}
+    for name, fn in checks.items():
         t0 = time.perf_counter()
         try:
             res = fn()
