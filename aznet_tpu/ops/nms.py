@@ -101,13 +101,15 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
 
     ``impl``: 'auto' (Pallas kernel on TPU for N >= 512, else the fixpoint),
     'fixpoint', or 'pallas'. Both are exact greedy (tested equal).
-    ``order_mode`` (pallas impl): 'argsort' | 'intkey' — how the kernel
-    wrapper derives the score-descending permutation (identical keep sets
-    AND identical order, hardware-pinned by tpu_checks
-    nms_intkey_vs_argsort_order; the sort is ~2/3 of the wrapper cost at
-    serving shapes, DESIGN findings 20/23). Default: env
-    ``AZNET_NMS_ORDER`` or 'intkey' — the measured-fastest wrapper
-    (23.70 vs 22.84 Mboxes/s at 16x4096); float64 scores fall back to the
+    ``order_mode`` (pallas impl): 'argsort' | 'intkey' | 'bitonic' — how
+    the score-descending permutation is derived (identical keep sets AND
+    identical order, hardware-pinned by tpu_checks
+    nms_{intkey,bitonic}_vs_argsort_order; the XLA-side sort is ~2/3 of
+    the wrapper cost at serving shapes, DESIGN findings 20/23/28).
+    Default: env ``AZNET_NMS_ORDER`` or 'bitonic' — ordering happens
+    inside a Pallas kernel (a bitonic network over (intkey, index) pairs
+    carrying the coordinate planes), measured 36.2 vs intkey's 22.1
+    Mboxes/s at 16x4096 (finding 28); float64 scores fall back to the
     stable argsort inside the kernel wrapper to keep the order contract.
     NOTE: the env var is read at TRACE time — a jitted caller captures it
     per jit cache entry, so flipping ``AZNET_NMS_ORDER`` after a program
@@ -130,7 +132,7 @@ def nms_mask(boxes, scores, iou_threshold, valid=None, offset: float = 1.0,
         from aznet_tpu.ops.pallas.nms_kernel import nms_pallas
 
         if order_mode is None:
-            order_mode = os.environ.get("AZNET_NMS_ORDER", "intkey")
+            order_mode = os.environ.get("AZNET_NMS_ORDER", "bitonic")
         return nms_pallas(boxes, scores, iou_threshold, valid=valid,
                           offset=offset, order_mode=order_mode)
     if valid is None:

@@ -365,7 +365,12 @@ def _bench_nms_secondary():
         def pipe(b, s):
             def step(c, _):
                 # Natively batched kernel: one launch, grid = streams x tiles.
-                keep = nms_pallas_batched(b, s + c * 1e-9, 0.5, tile=512)
+                # Measure the SHIPPING ordering path (nms_mask's default:
+                # env AZNET_NMS_ORDER or 'bitonic' — DESIGN finding 28), not
+                # the kernel's conservative 'argsort' default.
+                keep = nms_pallas_batched(
+                    b, s + c * 1e-9, 0.5, tile=512,
+                    order_mode=os.environ.get("AZNET_NMS_ORDER", "bitonic"))
                 return c + jnp.sum(keep.astype(jnp.float32)) * 1e-20, None
             acc, _ = jax.lax.scan(step, jnp.float32(0), None, length=reps)
             return acc
