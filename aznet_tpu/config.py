@@ -120,6 +120,15 @@ class TrainConfig:
     # the batch-size limiter at 608x800 — for one extra trunk forward
     # per step. TPU-new; measured A/B in DESIGN.md finding 26.
     REMAT_TRUNK: bool = False
+    # Minibatch-build worker processes (data/prefetch.py::MPPrefetcher).
+    # 1 = the reference-parity single prefetch thread (stateful shared
+    # RNG); >= 2 switches to spawned CPU-only workers with a per-batch-
+    # index seeded stream (deterministic, worker-count-invariant). The
+    # lever for the host-bound regime DESIGN.md finding 30 measured
+    # (device 54% MFU at b8 vs ~40 img/s host wall on a 1-core machine).
+    # Requires a registry-name imdb; falls back to the thread (with a
+    # warning) when hard-region mining is on or proposals aren't a path.
+    NUM_WORKERS: int = 1
     # Parameter-name prefixes whose gradients are zeroed (the reference sets
     # lr_mult=0 on conv1/conv2 when fine-tuning from ImageNet weights). Off
     # by default: from-scratch training must update everything.

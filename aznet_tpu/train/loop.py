@@ -209,10 +209,30 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
         return get_az_minibatch(imdb, [roidb[i] for i in idx], cfg, rng,
                                 canvas, mined_by_entry=mined)
 
+    prefetcher = None
+    if cfg.TRAIN.NUM_WORKERS > 1:
+        if miner is not None:
+            # Worker processes can't see the miner's pool (the main
+            # process updates it mid-run); the thread shares memory.
+            print("[az] TRAIN.NUM_WORKERS ignored: hard-region mining "
+                  "needs the in-process prefetch thread")
+        else:
+            from aznet_tpu.data.prefetch import MPPrefetcher, az_batch_builder
+
+            prefetcher = MPPrefetcher(
+                az_batch_builder,
+                {"imdb_name": imdb_name, "cfg": cfg,
+                 "seed": cfg.RNG_SEED + 1000003 * jax.process_index(),
+                 "pid": jax.process_index(), "pcount": jax.process_count(),
+                 "ims_local": ims_local},
+                workers=cfg.TRAIN.NUM_WORKERS)
+    if prefetcher is None:
+        prefetcher = _Prefetcher(make_batch)
+
     step_fn = make_az_train_step(
         model, pos_weights=(cfg.TRAIN.ZOOM_POS_WEIGHT, cfg.TRAIN.ADJ_POS_WEIGHT),
         remat_trunk=cfg.TRAIN.REMAT_TRUNK)
-    state = _run_loop(state, step_fn, _Prefetcher(make_batch),
+    state = _run_loop(state, step_fn, prefetcher,
                       cfg, max_iters, output_dir, "az", mesh=mesh,
                       interval_hook=hook)
     # Deployment copy with normalization baked into the regression head
@@ -230,11 +250,14 @@ def train_az_net(cfg: Config, imdb_name: str, max_iters: Optional[int] = None,
 def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
                     max_iters: Optional[int] = None,
                     output_dir: Optional[str] = None, state=None, imdb=None,
-                    mesh=None):
+                    mesh=None, proposals_path: Optional[str] = None):
     """Train Fast R-CNN on an imdb with proposals.
 
     ``proposals_fn(entry_index) -> [N, 4+]`` boxes in original image coords
     (typically AZ-Net proposals, the reference's chained experiment flow).
+    ``proposals_path``: the pkl behind ``proposals_fn``, if any — required
+    for TRAIN.NUM_WORKERS > 1 (spawned workers re-read it; a bare callable
+    can't cross the process boundary).
     """
     imdb = imdb or get_imdb(imdb_name)
     if cfg.TRAIN.USE_FLIPPED:
@@ -266,7 +289,26 @@ def train_frcnn_net(cfg: Config, imdb_name: str, proposals_fn,
             props.append(p)
         return get_frcnn_minibatch(imdb, entries, props, cfg, rng, canvas)
 
-    state = _run_loop(state, make_frcnn_train_step(model), _Prefetcher(make_batch),
+    prefetcher = None
+    if cfg.TRAIN.NUM_WORKERS > 1:
+        if proposals_path is None:
+            print("[frcnn] TRAIN.NUM_WORKERS ignored: workers need "
+                  "proposals_path (a pkl), not a bare proposals_fn")
+        else:
+            from aznet_tpu.data.prefetch import (MPPrefetcher,
+                                                 frcnn_batch_builder)
+
+            prefetcher = MPPrefetcher(
+                frcnn_batch_builder,
+                {"imdb_name": imdb_name, "cfg": cfg,
+                 "seed": cfg.RNG_SEED + 1000003 * jax.process_index(),
+                 "pid": jax.process_index(), "pcount": jax.process_count(),
+                 "ims_local": ims_local, "proposals_path": proposals_path},
+                workers=cfg.TRAIN.NUM_WORKERS)
+    if prefetcher is None:
+        prefetcher = _Prefetcher(make_batch)
+
+    state = _run_loop(state, make_frcnn_train_step(model), prefetcher,
                       cfg, max_iters, output_dir, "frcnn", mesh=mesh)
     if cfg.TRAIN.BBOX_NORMALIZE_TARGETS:
         baked = bake_bbox_normalization(

@@ -166,7 +166,8 @@ def main():
         cfg, state = trunk_init_state(cfg)
         state, model, outdir = train_frcnn_net(
             cfg, args.imdb, proposals_fn, max_iters=args.iters,
-            output_dir=args.output, mesh=mesh, state=state
+            output_dir=args.output, mesh=mesh, state=state,
+            proposals_path=args.proposals or None
         )
     print(f"done; checkpoints in {outdir}")
 
