@@ -269,10 +269,75 @@ def _bitonic_sort6(key, idx, coords, interpret: bool = False):
     return [o.reshape(bsz, n) for o in outs]
 
 
+def _bitonic_unpermute_kernel(rows, idx_ref, keep_ref, keep_o):
+    """Invert the sort permutation INSIDE Pallas: bitonic-sort (idx, keep)
+    pairs ascending by ``idx``. ``idx`` is a unique permutation of
+    0..n-1 (the forward network's carried index plane), so after this
+    network the keep plane sits in original-slot order — replacing the
+    XLA-side bool scatter, the last piece of the 16x4096 NMS program
+    outside Pallas (DESIGN finding 28's ~0.4 ms residual). Same
+    rotate-materialized compare-exchange as :func:`_bitonic6_kernel`,
+    two planes instead of six and no tie-break (keys unique)."""
+    idx = idx_ref[0]
+    keep = keep_ref[0]
+    lanes = idx.shape[1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, idx.shape, 0)
+    flat = row * lanes + lane
+    n = rows * lanes
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            if j < lanes:
+                lo_bit = (lane & j) == 0
+                ax, sh = 1, j
+            else:
+                sh = j // lanes
+                lo_bit = (row & sh) == 0
+                ax = 0
+
+            def partner(x, lo_bit=lo_bit, ax=ax, sh=sh):
+                return jnp.where(lo_bit, jnp.roll(x, -sh, axis=ax),
+                                 jnp.roll(x, sh, axis=ax))
+
+            pidx = partner(idx)
+            pkeep = partner(keep)
+            asc = (flat & k) == 0
+            own_first = idx < pidx
+            take_own = own_first ^ asc ^ lo_bit  # i1 XOR chain (see above)
+            idx = jnp.where(take_own, idx, pidx)
+            keep = jnp.where(take_own, keep, pkeep)
+            j //= 2
+        k *= 2
+    keep_o[0] = keep
+
+
+def _bitonic_unpermute(order, keepf, interpret: bool = False):
+    """Scatter ``keepf [B, n] f32`` back to original slots given the sort
+    permutation ``order [B, n] int32`` (unique), entirely inside Pallas.
+    n must be a power of two and a multiple of 128."""
+    bsz, n = order.shape
+    assert n % 128 == 0 and (n & (n - 1)) == 0, n
+    rows = n // 128
+    spec = pl.BlockSpec((1, rows, 128), lambda b: (b, 0, 0),
+                        memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        partial(_bitonic_unpermute_kernel, rows),
+        grid=(bsz,),
+        in_specs=[spec, spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct((bsz, rows, 128), keepf.dtype),
+        interpret=interpret,
+    )(order.reshape(bsz, rows, 128), keepf.reshape(bsz, rows, 128))
+    return out.reshape(bsz, n)
+
+
 def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
                        interpret: bool = False, tile: int = TILE,
                        derive_sub: bool = True, lane_gather: bool = False,
-                       unpermute: str = "scatter", order_mode: str = "argsort"):
+                       unpermute: "str | None" = None,
+                       order_mode: str = "argsort"):
     """Exact greedy-NMS keep masks for ``boxes [B, N, 4]``/``scores [B, N]``
     in ORIGINAL order — B independent streams in ONE kernel launch
     (grid = streams x tiles).
@@ -293,11 +358,20 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
     a Pallas kernel (a bitonic network over (intkey, index) pairs that
     carries the coordinate planes through the same exchanges), so the
     XLA sort AND the sorted gathers disappear; only the unpermute stays
-    outside. Same keep sets and order contract as 'intkey'/'argsort'
-    (pinned by tests + tpu_checks); pads N to a power of two for the
-    network (free at the 4096 serving shape).
+    outside — unless ``unpermute='bitonic'`` (round-5b, the default for
+    this mode), which inverts the permutation with a second 2-plane
+    network in VMEM so NO XLA-side permutation work remains (39.2 vs
+    33.6 Mboxes/s end-to-end at 16x4096, finding 28). Same keep sets and
+    order contract as 'intkey'/'argsort' (pinned by tests + tpu_checks);
+    pads N to a power of two for the network (free at the 4096 serving
+    shape). ``unpermute=None`` resolves to 'bitonic' under
+    ``order_mode='bitonic'`` and 'scatter' otherwise (incl. the float64
+    fallback, where no in-kernel permutation exists).
     """
     bsz, n = scores.shape
+    if unpermute is None:
+        unpermute = ("bitonic" if order_mode == "bitonic"
+                     and scores.dtype != jnp.float64 else "scatter")
     if valid is None:
         valid = jnp.ones((bsz, n), bool)
     neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
@@ -343,6 +417,13 @@ def nms_pallas_batched(boxes, scores, thresh, valid=None, offset: float = 1.0,
             interpret=interpret,
         )(jnp.asarray(thresh, jnp.float32).reshape(1, 1), lane,
           svalid_f.reshape(bsz, 1, n_pad))
+        if unpermute == "bitonic":
+            # Inverse permutation in VMEM too: sort (order, keep) by order
+            # with a second (2-plane) bitonic network — no XLA scatter or
+            # rank-sort left anywhere in the NMS program.
+            keepf = _bitonic_unpermute(order, keep_rows.reshape(bsz, n_pad),
+                                       interpret=interpret)
+            return (keepf > 0.0)[:, :n]
         keep_sorted = keep_rows.reshape(bsz, n_pad) > 0.0
         if unpermute == "gather":
             iota2 = jnp.broadcast_to(jnp.arange(n_pad, dtype=jnp.int32),

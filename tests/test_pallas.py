@@ -400,3 +400,10 @@ def test_nms_bitonic_keep_equals_argsort_path():
             tile=tile, order_mode="bitonic", unpermute="gather",
             interpret=True))
         np.testing.assert_array_equal(got_g, want)
+        # in-kernel bitonic unpermute (second 2-plane network): the fully
+        # in-Pallas path must also land keep bits in original slots.
+        got_b = np.asarray(nms_pallas_batched(
+            boxes, jnp.asarray(s), 0.5, valid=jnp.asarray(valid),
+            tile=tile, order_mode="bitonic", unpermute="bitonic",
+            interpret=True))
+        np.testing.assert_array_equal(got_b, want)

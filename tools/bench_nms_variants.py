@@ -105,6 +105,12 @@ def main():
         "bitonic+gatherup": lambda b, s: nk.nms_pallas_batched(
             b, s, 0.5, tile=tile, unpermute="gather",
             order_mode="bitonic"),
+        # Round-5b: the unpermute moves in-kernel too (a second 2-plane
+        # bitonic network sorting (order, keep) by order) — zero XLA-side
+        # permutation work left in the NMS program.
+        "bitonic+bitonicup": lambda b, s: nk.nms_pallas_batched(
+            b, s, 0.5, tile=tile, unpermute="bitonic",
+            order_mode="bitonic"),
         "kernel_only": kernel_only,
     }
 

@@ -401,12 +401,16 @@ def check_nms_bitonic():
         scores_np[1, 32:48] = 0.0
         scores = jnp.asarray(scores_np)
         run = jax.jit(
-            lambda b, s, m: nms_pallas_batched(b, s, 0.5, order_mode=m),
-            static_argnums=2)
-        got = np.asarray(run(boxes, scores, "bitonic"))
-        ref = np.asarray(run(boxes, scores, "argsort"))
+            lambda b, s, m, u: nms_pallas_batched(b, s, 0.5, order_mode=m,
+                                                  unpermute=u),
+            static_argnums=(2, 3))
+        got = np.asarray(run(boxes, scores, "bitonic", "scatter"))
+        ref = np.asarray(run(boxes, scores, "argsort", "scatter"))
         out[f"mismatch_n{n}"] = int((got != ref).sum())
         out[f"kept_n{n}"] = int(got.sum())
+        # round-5b: the in-kernel (2-plane bitonic) unpermute too
+        got_b = np.asarray(run(boxes, scores, "bitonic", "bitonic"))
+        out[f"mismatch_bup_n{n}"] = int((got_b != ref).sum())
     out["ok"] = all(v == 0 for k, v in out.items() if k.startswith("mismatch"))
     return out
 
